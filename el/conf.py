@@ -1,0 +1,76 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Design notes (SURVEY.md §4.1):
+- AQE on: runtime partition coalescing + skew-join splitting are the
+  backstop for residual skew (primary skew control is explicit salting
+  and per-block caps in el.blocking).
+- Arrow on: every Python kernel is a pandas/Arrow UDF; batch size is
+  tuned so a batch amortizes UDF setup without blowing executor memory.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (naive-UTC) exactly.
+- shuffle.partitions defaults to the local core count; on a real
+  cluster pass ``shuffle_partitions ~= 2-3x total cores`` (AQE coalesces
+  the excess at runtime, so erring high is safe at 100 TB scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_ARROW_BATCH = 10_000
+
+
+def get_spark(
+    app_name: str = "el",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else all
+    cores). On a real cluster spark-submit supplies the master and this
+    argument is left None.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if master is None:
+        master = f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or _parallelism_of(master, int(cpus))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.default.parallelism", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(DEFAULT_ARROW_BATCH),
+        )
+        # deterministic floating point in parquet stats / no ANSI surprises
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("EL_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def _parallelism_of(master: str, default: int) -> int:
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or default
+        try:
+            return int(inner)
+        except ValueError:
+            return default
+    return default

@@ -1,0 +1,620 @@
+"""Operator check-queries for the driver's DuckDB-oracle gate.
+
+Every operator in SURVEY.md §2 with a SQL-expressible check gets a
+``@check(name, oracle=...)`` entry here: a Spark DataFrame program and
+the equivalent ANSI SQL that DuckDB runs on the same parquet views.
+``__spark_entry__.py`` re-exports the registry.
+
+Comparison discipline (the driver hashes values order-insensitively
+after sorting columns by name):
+- every computed column is explicitly aliased, identically on both
+  sides;
+- per-row double arithmetic is left RAW: both engines evaluate the
+  same IEEE-754 ops on the same bits, so results are bit-identical
+  (whereas ``round(x, 2)`` hits half-up boundaries differently —
+  Spark rounds the shortest decimal rendering, DuckDB the binary
+  value);
+- double AGGREGATES are never emitted raw (reduction order differs):
+  values are cast per-row to DECIMAL (exact, order-independent sum)
+  and the exact sum is cast back to double;
+- timestamps are formatted to strings on both sides (engine-native
+  rendering differs);
+- DuckDB's ``sum(INTEGER) -> HUGEINT`` is cast back to BIGINT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from el.io import load_table
+
+
+@dataclass
+class Check:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> driver runs rows-only check
+
+
+REGISTRY: dict[str, Check] = {}
+
+
+def check(name: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = Check(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col: str | F.Column, scale: int = 4) -> F.Column:
+    """Order-independent double aggregate: exact DECIMAL sum of the
+    per-row values (bit-identical across engines), cast back to double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def _dsum_sql(expr: str, scale: int = 4) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@check(
+    "p1_project_revenue",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+)
+def p1_project_revenue(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@check(
+    "p2_filter_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1000 AND o_orderstatus = 'F'
+    """,
+)
+def p2_filter_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_totalprice") > 1000) & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+@check(
+    "p3_lang_gate",
+    oracle="SELECT count(*) AS n_en FROM documents WHERE text IS NOT NULL AND lang = 'en'",
+)
+def p3_lang_gate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.col("text").isNotNull() & (F.col("lang") == "en")).agg(
+        F.count("*").alias("n_en")
+    )
+
+
+@check(
+    "p4_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def p4_latest_event_per_user(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@check(
+    "j1_selfjoin_docs_lang",
+    oracle="""
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang AS lang
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    """,
+)
+def j1_selfjoin_docs_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, on="lang", how="inner")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("lang").alias("lang"),
+        )
+    )
+
+
+@check(
+    "j3_broadcast_nation_counts",
+    oracle="""
+    SELECT n.n_name AS n_name, count(*) AS n_customers,
+           {dsum} AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """.format(dsum=_dsum_sql("c.c_acctbal")),
+)
+def j3_broadcast_nation_counts(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@check(
+    "j4_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j4_semi_customers_with_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, on="c_custkey", how="left_semi").select("c_custkey", "c_name")
+
+
+@check(
+    "j5_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_custkey IS NOT NULL)
+    """,
+)
+def j5_anti_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, on="c_custkey", how="left_anti").select("c_custkey", "c_name")
+
+
+@check(
+    "j6_range_join_parts",
+    oracle="""
+    SELECT count(*) AS n_pairs
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND abs(a.p_size - b.p_size) <= 2
+     AND a.p_partkey < b.p_partkey
+    """,
+)
+def j6_range_join_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.abs(F.col("a.p_size") - F.col("b.p_size")) <= 2)
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        ).agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@check(
+    "a1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           {sq}  AS sum_qty,
+           {sbp} AS sum_base_price,
+           {sdp} AS sum_disc_price,
+           {sq} / count(*)  AS avg_qty,
+           {sbp} / count(*) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sq=_dsum_sql("l_quantity"),
+        sbp=_dsum_sql("l_extendedprice"),
+        sdp=_dsum_sql("l_extendedprice * (1 - l_discount)", 6),
+    ),
+)
+def a1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+            "sum_disc_price"
+        ),
+        (_dsum("l_quantity") / cnt).alias("avg_qty"),
+        (_dsum("l_extendedprice") / cnt).alias("avg_price"),
+        cnt.alias("count_order"),
+    )
+
+
+@check(
+    "a2_distinct_custkeys",
+    oracle="SELECT count(DISTINCT o_custkey) AS n_custkeys FROM orders",
+)
+def a2_distinct_custkeys(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(
+        F.count_distinct("o_custkey").alias("n_custkeys")
+    )
+
+
+@check("a3_approx_distinct_orderkeys", oracle=None)  # approximate -> rows-only
+def a3_approx_distinct_orderkeys(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("n_approx")
+    )
+
+
+@check(
+    "a5_first_order_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_order_day,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a5_first_order_per_customer(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+                "first_order_day"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@check(
+    "a6_rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a6_rollup_lineitem(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+
+@check(
+    "w1_per_block_cap",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM (
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def w1_per_block_cap(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@check(
+    "w2_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def w2_topk_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@check(
+    "w4_running_event_sum",
+    oracle="""
+    SELECT event_id,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_value
+    FROM events
+    """,
+)
+def w4_running_event_sum(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+@check(
+    "w5_price_median",
+    oracle="""
+    SELECT round(CAST(percentile_cont(0.5) WITHIN GROUP
+                 (ORDER BY o_totalprice) AS DOUBLE), 4) AS median_price
+    FROM orders
+    """,
+)
+def w5_price_median(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits
+# ---------------------------------------------------------------------------
+
+
+@check(
+    "o1_sorted_nations",
+    oracle="SELECT n_name, n_regionkey FROM nation ORDER BY n_name LIMIT 10",
+)
+def o1_sorted_nations(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "nation")
+        .orderBy("n_name")
+        .select("n_name", "n_regionkey")
+        .limit(10)
+    )
+
+
+@check(
+    "o2_global_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+    """,
+)
+def o2_global_topk_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set ops
+# ---------------------------------------------------------------------------
+
+
+@check(
+    "u1_union_distinct_langs",
+    oracle="""
+    SELECT DISTINCT lang FROM (
+      SELECT lang FROM documents UNION ALL SELECT 'xx' AS lang
+    )
+    """,
+)
+def u1_union_distinct_langs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("lang")
+    extra = spark.createDataFrame([("xx",)], "lang string")
+    return d.unionByName(extra).distinct()
+
+
+@check(
+    "u2_intersect_keys",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def u2_intersect_keys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@check(
+    "u3_except_keys",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def u3_except_keys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@check(
+    "f1_normalize_names",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(source), '[^a-z0-9 ]', '', 'g'))
+           AS norm_source
+    FROM documents
+    """,
+)
+def f1_normalize_names(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("source")), r"[^a-z0-9 ]", "")
+        ).alias("norm_source"),
+    )
+
+
+@check(
+    "f2_tokenize_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens,
+           array_to_string(string_split_regex(trim(text), '\\s+')[1:3], ' ')
+             AS first_tokens
+    FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+    """,
+)
+def f2_tokenize_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        d.where(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.array_join(F.slice(toks, 1, 3), " ").alias("first_tokens"),
+        )
+    )
+
+
+@check(
+    "f4_levenshtein_parts",
+    oracle="""
+    SELECT p_partkey, levenshtein(p_brand, p_type) AS lev
+    FROM part
+    """,
+)
+def f4_levenshtein_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.levenshtein("p_brand", "p_type").cast("long").alias("lev")
+    )
+
+
+@check(
+    "f9_json_extract_events",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k') AS k_val
+    FROM events
+    """,
+)
+def f9_json_extract_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_val")
+    )
+
+
+@check(
+    "f10_events_per_day",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n, {dv} AS total_value
+    FROM events GROUP BY 1
+    """.format(dv=_dsum_sql("value", 6)),
+)
+def f10_events_per_day(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count("*").alias("n"), _dsum("value", 6).alias("total_value"))
+    )
+
+
+@check(
+    "f11_math_clamps",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount)    AS min_rate,
+           round(ln(1 + l_extendedprice), 6) AS log_price
+    FROM lineitem
+    """,
+)
+def f11_math_clamps(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.round(F.log(F.lit(1) + F.col("l_extendedprice")), 6).alias("log_price"),
+    )
+
+
+@check("f6_soundex_customers", oracle=None)  # DuckDB 1.0 lacks soundex
+def f6_soundex_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", F.soundex("c_name").alias("sdx"))
