@@ -1,0 +1,130 @@
+"""Multi-key blocking and skew-aware candidate-pair generation.
+
+Strategies (BASELINE.json north_star "salted multi-key blocking"):
+  name_token — 4-char prefix of each normalized name token (prefix4 is
+               invariant to the corpus's typo/abbreviation corruption);
+  lsh_band   — MinHash bands over char-shingles (el.minhash, M3);
+  topic      — LDA topic-id buckets (el.topics, M3).
+
+Skew / scale design (SURVEY.md §4.2 — the part Catalyst cannot see):
+- W1 per-block cap: keep <= cap_k members per (strategy, block_key),
+  bounding any block's pair output at cap_k*(cap_k-1)/2. Retention is
+  ordered by xxhash64(block_key, mention_id) — a *block-dependent*
+  total order, so a hot entity capped in one block survives in its
+  other blocks and transitive clustering still connects it (ordering
+  by raw mention_id would drop the same members everywhere).
+- Dropped members are counted per block and reported (no silent
+  truncation).
+- The pair self-join shuffles both sides on (strategy, block_key);
+  AQE skew-join splitting is enabled as backstop (el.conf). Explicit
+  hot-key salting for *non-self* joins lives in salted_join below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_CAP = 64
+
+
+def name_token_keys(mentions: DataFrame, prefix_len: int = 4) -> DataFrame:
+    """Explode normalized name tokens into block keys (strategy
+    'name_token'). Tokens shorter than 3 chars are too common to
+    block on and are dropped."""
+    return (
+        mentions.select(
+            "mention_id",
+            "url",
+            F.explode("name_tokens").alias("tok"),
+        )
+        .where(F.length("tok") >= 3)
+        .select(
+            "mention_id",
+            "url",
+            F.lit("name_token").alias("strategy"),
+            F.concat(F.lit("nt:"), F.substring("tok", 1, prefix_len)).alias(
+                "block_key"
+            ),
+            F.lit(0).alias("salt"),
+        )
+        .dropDuplicates(["mention_id", "strategy", "block_key"])
+    )
+
+
+def cap_blocks(
+    block_keys: DataFrame, cap_k: int = DEFAULT_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """W1: bound each block at cap_k members; returns (capped, stats).
+
+    stats carries per-block kept/dropped counts for the metrics table
+    — recall loss from capping is observable, never silent."""
+    w = Window.partitionBy("strategy", "block_key").orderBy(
+        F.xxhash64("block_key", "mention_id"), F.col("mention_id")
+    )
+    ranked = block_keys.withColumn("rn", F.row_number().over(w))
+    capped = ranked.where(F.col("rn") <= cap_k).drop("rn")
+    stats = (
+        ranked.groupBy("strategy", "block_key")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.when(F.col("rn") > cap_k, 1).otherwise(0)).alias("n_dropped"),
+        )
+    )
+    return capped, stats
+
+
+def candidate_pairs(capped: DataFrame) -> DataFrame:
+    """J1/U1: per-block self-join -> unordered pairs (a_id < b_id),
+    deduplicated across strategies deterministically (min strategy/key
+    kept, not an arbitrary dropDuplicates survivor).
+
+    The join shuffles on (strategy, block_key) — both sides identical
+    partitioning, one exchange each; block sizes are already bounded
+    by cap_blocks so no reducer sees a quadratic mega-block."""
+    left = capped.select(
+        "strategy",
+        "block_key",
+        F.col("mention_id").alias("a_id"),
+        F.col("url").alias("a_url"),
+    )
+    right = capped.select(
+        "strategy",
+        "block_key",
+        F.col("mention_id").alias("b_id"),
+        F.col("url").alias("b_url"),
+    )
+    pairs = left.join(right, on=["strategy", "block_key"], how="inner").where(
+        F.col("a_id") < F.col("b_id")
+    )
+    return pairs.groupBy("a_id", "b_id").agg(
+        F.min("a_url").alias("a_url"),
+        F.min("b_url").alias("b_url"),
+        F.min_by("block_key", F.struct("strategy", "block_key")).alias("block_key"),
+        F.min("strategy").alias("strategy"),
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """J2: generic hot-key-safe equi-join. The (small) dim side is
+    replicated across n_salts; the fact side picks a deterministic
+    salt per row — a hot key's rows spread over n_salts reducers
+    instead of one. Result is provably identical to the unsalted join
+    (tested in tests/test_blocking.py)."""
+    f = fact.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in fact.columns])), F.lit(n_salts)
+        ).cast("int"),
+    )
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = f.join(d, on=[key, "_salt"], how=how).drop("_salt")
+    return out

@@ -1,0 +1,109 @@
+"""Transitive clustering: iterative large-star / small-star connected
+components on DataFrames (Kiveris et al., "Connected Components in
+MapReduce and Beyond", ACM SoCC 2014 — converges in O(log n) rounds).
+
+Spark-first mechanics:
+- each round is two groupBy-min + join passes over the edge table;
+- ``localCheckpoint(eager=True)`` after every round cuts the lineage
+  (iterative self-joins otherwise stack an unbounded plan);
+- convergence is detected via a cheap signature aggregate
+  (count + sum of xxhash64(src,dst)) instead of a full exceptAll;
+- the driver participates only in the loop condition (SURVEY.md §3.2).
+
+Correctness oracle: el.testing.union_find (property test on random
+graphs, tests/test_clustering.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (hi, lo), self-loops dropped, distinct."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) u {u})."""
+    nbrs = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = (
+        nbrs.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    return (
+        nbrs.join(mins, on="src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each u (over edges oriented hi->lo): connect u and all its
+    smaller neighbors to the minimum of the neighborhood."""
+    e = _canonical(edges)
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+    j = e.join(mins, on="src")
+    pairs_v = j.where(F.col("dst") != F.col("m")).select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    pairs_u = j.select(F.col("src"), F.col("m").alias("dst")).distinct()
+    return pairs_v.unionByName(pairs_u).distinct()
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """edges(src,dst) -> (mention_id, cluster_id) for every node that
+    appears in an edge; cluster_id = min member id of the component.
+
+    Nodes with no edges are absent — callers assign singletons via a
+    left join (see clusters_of)."""
+    e = _canonical(edges).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = _signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: e is a star forest (node -> root)
+    members = e.select(
+        F.col("src").alias("mention_id"), F.col("dst").alias("cluster_id")
+    )
+    roots = e.select(F.col("dst").alias("mention_id")).distinct().withColumn(
+        "cluster_id", F.col("mention_id")
+    )
+    return members.unionByName(roots).distinct()
+
+
+def clusters_of(mentions: DataFrame, edges: DataFrame) -> DataFrame:
+    """Full cluster table over all mentions (singletons included)."""
+    comp = connected_components(edges)
+    return (
+        mentions.select("mention_id", "url")
+        .join(comp, on="mention_id", how="left")
+        .select(
+            "mention_id",
+            "url",
+            F.coalesce("cluster_id", "mention_id").alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,92 @@
+"""Pairwise evaluation: precision/recall/F1 on labeled pairs
+(BASELINE.json gate: F1 >= 0.99 on labeled pairs within the same
+blocking key), plus blocking recall (SURVEY.md §5.4).
+
+A labeled pair (a_url, b_url) is predicted positive iff the PRIMARY
+mention (mention_idx == 0, the first-extracted mention) of both urls
+landed in the same cluster."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def primary_clusters(clusters: DataFrame, mentions: DataFrame) -> DataFrame:
+    """url -> cluster_id of its primary (first-extracted) mention."""
+    primary = mentions.where(F.col("mention_idx") == 0).select("url", "mention_id")
+    return primary.join(clusters, on=["url", "mention_id"], how="inner").select(
+        "url", "cluster_id"
+    )
+
+
+def pairwise_scores(labeled: DataFrame, url_clusters: DataFrame) -> dict:
+    a = url_clusters.select(
+        F.col("url").alias("a_url"), F.col("cluster_id").alias("a_cl")
+    )
+    b = url_clusters.select(
+        F.col("url").alias("b_url"), F.col("cluster_id").alias("b_cl")
+    )
+    j = (
+        labeled.join(a, on="a_url", how="left")
+        .join(b, on="b_url", how="left")
+        .withColumn(
+            "pred",
+            (
+                F.col("a_cl").isNotNull()
+                & F.col("b_cl").isNotNull()
+                & (F.col("a_cl") == F.col("b_cl"))
+            ).cast("int"),
+        )
+    )
+    agg = j.agg(
+        F.sum(F.expr("CAST(label = 1 AND pred = 1 AS INT)")).alias("tp"),
+        F.sum(F.expr("CAST(label = 0 AND pred = 1 AS INT)")).alias("fp"),
+        F.sum(F.expr("CAST(label = 1 AND pred = 0 AS INT)")).alias("fn"),
+        F.sum(F.expr("CAST(label = 0 AND pred = 0 AS INT)")).alias("tn"),
+    ).collect()[0]
+    tp, fp, fn, tn = (int(agg[k] or 0) for k in ("tp", "fp", "fn", "tn"))
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "tn": tn,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
+def blocking_recall(
+    labeled: DataFrame, block_keys: DataFrame, mentions: DataFrame
+) -> float:
+    """Fraction of positive labeled pairs whose urls share >= 1 block
+    key (via their primary mentions)."""
+    primary = mentions.where(F.col("mention_idx") == 0).select("url", "mention_id")
+    url_keys = (
+        block_keys.join(primary, on=["url", "mention_id"], how="inner")
+        .select("url", "strategy", "block_key")
+        .distinct()
+    )
+    pos = labeled.where("label = 1").select("a_url", "b_url")
+    a = url_keys.select(
+        F.col("url").alias("a_url"), "strategy", "block_key"
+    )
+    b = url_keys.select(
+        F.col("url").alias("b_url"), "strategy", "block_key"
+    )
+    covered = (
+        pos.join(a, on="a_url")
+        .join(b, on=["b_url", "strategy", "block_key"])
+        .select("a_url", "b_url")
+        .distinct()
+    )
+    n_pos = pos.count()
+    return covered.count() / n_pos if n_pos else 1.0

@@ -1,0 +1,155 @@
+"""Extraction stage: html -> text (EXTRACT_SPEC v1) -> mentions.
+
+EXTRACT_SPEC v1 (pinned pure function; SURVEY.md §0 byte-identity
+invariant — per-url output is identical across runs, partitionings,
+and parallelism levels, checked by sha2(text, 256) in pytest):
+  1. decode utf-8 with errors='replace'
+  2. drop <script>...</script> and <style>...</style> blocks
+  3. concatenate the inner text of all <p ...>...</p> blocks (' ' join)
+  4. strip any remaining tags
+  5. html-unescape entities
+  6. collapse whitespace runs to single spaces, strip ends
+  7. NFC-normalize
+  8. empty -> NULL
+
+Both kernels are Arrow-batched (scalar pandas_udf / mapInPandas);
+string work inside a batch uses precompiled regexes — there is no
+row-at-a-time ``F.udf`` anywhere (BASELINE.json input_hint mandate).
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from el.hashing import stable_id64
+from el.schemas import MENTIONS
+
+EXTRACT_SPEC_VERSION = "v1"
+
+_RE_SCRIPT = re.compile(r"<(script|style)[^>]*>.*?</\1>", re.S | re.I)
+_RE_P = re.compile(r"<p[^>]*>(.*?)</p>", re.S | re.I)
+_RE_TAG = re.compile(r"<[^>]+>")
+_RE_WS = re.compile(r"\s+")
+
+# a mention is a maximal run of Capitalized tokens (abbreviation dots
+# and an inserted comma allowed), as planted by the corpus generator
+_RE_MENTION = re.compile(r"[A-Z][A-Za-z]*\.?,?(?: [A-Z][A-Za-z]*\.?,?)*")
+
+
+def extract_text_py(raw: bytes | None) -> str | None:
+    """EXTRACT_SPEC v1 on one document (pure; reused by tests)."""
+    if raw is None:
+        return None
+    s = raw.decode("utf-8", errors="replace")
+    s = _RE_SCRIPT.sub(" ", s)
+    paras = _RE_P.findall(s)
+    if not paras:
+        return None
+    s = " ".join(paras)
+    s = _RE_TAG.sub(" ", s)
+    s = html_mod.unescape(s)
+    s = _RE_WS.sub(" ", s).strip()
+    s = unicodedata.normalize("NFC", s)
+    return s or None
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_py)
+
+
+def add_extracted_text(pages: DataFrame) -> DataFrame:
+    """web_pages -> + extracted (EXTRACT_SPEC v1) + extract_sha.
+
+    The sha is computed JVM-side (F.sha2) over the extracted bytes —
+    this column IS the byte-identity evidence carried through the
+    pipeline and into the metrics table."""
+    return pages.withColumn("extracted", extract_text_udf(F.col("html"))).withColumn(
+        "extract_sha", F.sha2(F.col("extracted"), 256)
+    )
+
+
+def _mention_rows(url: str, text: str, sha: str) -> list[dict]:
+    out = []
+    spans = list(_RE_MENTION.finditer(text))
+    if not spans:
+        return out
+    ctx = _RE_MENTION.sub(" ", text)
+    ctx = _RE_WS.sub(" ", ctx).strip()
+    for idx, m in enumerate(spans):
+        surface = m.group(0).strip().rstrip(",")
+        out.append(
+            {
+                "url": url,
+                "mention_id": stable_id64([url, str(idx)]),
+                "mention_idx": idx,
+                "surface": surface,
+                "context": ctx,
+                "extract_sha": sha,
+            }
+        )
+    return out
+
+
+def extract_mentions(pages_with_text: DataFrame) -> DataFrame:
+    """(url, extracted, extract_sha) -> mentions table.
+
+    One row in, N mention rows out (the engine's UDTF-shaped op) via
+    mapInPandas; normalization (lower/strip punct/tokenize/sort) is
+    done JVM-side with builtin functions so Catalyst keeps it in
+    whole-stage codegen."""
+    cols = pages_with_text.select("url", "extracted", "extract_sha").where(
+        F.col("extracted").isNotNull()
+    )
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("mention_id", T.LongType(), False),
+            T.StructField("mention_idx", T.IntegerType(), False),
+            T.StructField("surface", T.StringType(), False),
+            T.StructField("context", T.StringType(), False),
+            T.StructField("extract_sha", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, text, sha in zip(
+                pdf["url"].tolist(), pdf["extracted"].tolist(), pdf["extract_sha"].tolist()
+            ):
+                rows.extend(_mention_rows(url, text, sha))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in raw_schema.fields]
+            )
+
+    raw = cols.mapInPandas(gen, schema=raw_schema)
+
+    norm_tokens = F.array_sort(
+        F.filter(
+            F.split(
+                F.lower(F.regexp_replace(F.col("surface"), r"[^a-zA-Z0-9]+", " ")),
+                r" +",
+            ),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    return raw.select(
+        "url",
+        "mention_id",
+        "mention_idx",
+        "surface",
+        F.array_join(norm_tokens, " ").alias("norm_name"),
+        norm_tokens.alias("name_tokens"),
+        "context",
+        "extract_sha",
+    ).select([f.name for f in MENTIONS.fields])

@@ -1,0 +1,123 @@
+"""End-to-end pipeline: web_pages -> mentions -> block_keys ->
+candidate_pairs -> scored_pairs -> edges -> clusters (SURVEY.md §3.2).
+
+This module holds the in-memory stage functions; el.runner (M4) wraps
+them with catalog commits, per-partition lineage/metrics, and resume.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from el import blocking
+from el.clustering import clusters_of
+from el.extract import add_extracted_text, extract_mentions
+from el.scoring import ScoringConfig, matched_edges, score_pairs
+from el.tfidf import TfidfModel
+
+
+@dataclass
+class PipelineConfig:
+    cap_k: int = 64
+    langs: tuple[str, ...] = ("en",)
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    use_lsh: bool = True
+    use_topics: bool = True
+    lsh_shingle_k: int = 3
+    lsh_rows: int = 4
+    lsh_bands: int = 16
+
+
+def dedup_latest(pages: DataFrame) -> DataFrame:
+    """P4/W3: latest-wins per url (re-crawls), total order tie-break."""
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.xxhash64("html").asc()
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def mentions_stage(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Dedup -> lang/null gate -> EXTRACT_SPEC v1 -> mention rows.
+
+    Column-pruning discipline: ``html`` is only referenced here; every
+    later stage sees mention-level columns only."""
+    gated = dedup_latest(pages).where(F.col("lang").isin(*cfg.langs))
+    extracted = add_extracted_text(gated)
+    return extract_mentions(extracted)
+
+
+def block_stage(
+    mentions: DataFrame, cfg: PipelineConfig, topic_buckets: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Multi-key blocking: union of strategy key tables -> cap.
+
+    Returns (capped block_keys, block stats)."""
+    keys = blocking.name_token_keys(mentions)
+    if cfg.use_lsh:
+        from el.minhash import lsh_band_keys
+
+        keys = keys.unionByName(
+            lsh_band_keys(
+                mentions,
+                shingle_k=cfg.lsh_shingle_k,
+                rows=cfg.lsh_rows,
+                bands=cfg.lsh_bands,
+            )
+        )
+    if topic_buckets is not None:
+        keys = keys.unionByName(topic_buckets)
+    return blocking.cap_blocks(keys, cfg.cap_k)
+
+
+def run_pipeline(
+    spark,
+    pages: DataFrame,
+    cfg: PipelineConfig | None = None,
+    tfidf_model: TfidfModel | None = None,
+) -> dict[str, DataFrame]:
+    """Full batch run; returns every stage table (lazily defined,
+    caller materializes/commits). tfidf_model: pass a persisted model
+    for cross-run determinism; None -> fit on this corpus (tests)."""
+    cfg = cfg or PipelineConfig()
+
+    mentions = mentions_stage(pages, cfg)
+    mentions = mentions.persist()
+
+    model = tfidf_model or TfidfModel.fit(mentions, "context")
+    mentions_v = model.transform(mentions, "context", "tfidf")
+
+    topic_buckets = None
+    if cfg.use_topics:
+        try:
+            from el.topics import TopicModel
+
+            tm = TopicModel.fit(spark, mentions, "context")
+            mentions_v = tm.transform(mentions_v, "context", "topic_vec")
+            topic_buckets = tm.bucket_keys(mentions_v)
+        except ImportError:
+            pass
+
+    mentions_v = mentions_v.persist()
+
+    block_keys, block_stats = block_stage(mentions, cfg, topic_buckets)
+    pairs = blocking.candidate_pairs(block_keys)
+    scored = score_pairs(pairs, mentions_v, cfg.scoring)
+    edges = matched_edges(scored)
+    clusters = clusters_of(mentions, edges)
+
+    return {
+        "mentions": mentions_v,
+        "block_keys": block_keys,
+        "block_stats": block_stats,
+        "candidate_pairs": pairs,
+        "scored_pairs": scored,
+        "edges": edges,
+        "clusters": clusters,
+    }

@@ -24,6 +24,7 @@ MENTIONS = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
         T.StructField("mention_id", T.LongType(), False),
+        T.StructField("mention_idx", T.IntegerType(), False),
         T.StructField("surface", T.StringType(), False),
         T.StructField("norm_name", T.StringType(), False),
         T.StructField("name_tokens", T.ArrayType(T.StringType()), False),

@@ -1,0 +1,163 @@
+"""Pairwise scoring: fused Arrow pass computing Jaro-Winkler and
+TF-IDF/topic cosines + logistic score; Levenshtein similarity stays
+JVM-side (builtin F.levenshtein, whole-stage codegen) — the UDF only
+carries work Spark has no builtin for (SURVEY.md V4/F4/F5/F8).
+
+Decision rule (threshold/logistic scorer, BASELINE.json north_star):
+``is_match`` is a CONJUNCTION of thresholds — name_sim >= t_name AND
+ctx_sim >= t_ctx. Name-collision entities (jw == 1.0 but different
+topic context) fail the context leg; same-topic different-name pairs
+(candidates via the LDA bucket strategy) fail the name leg. A single
+linear-logistic boundary cannot express this AND robustly because
+collision negatives have *higher* name similarity than many true
+positives. The logistic ``score`` is still emitted (ranking /
+calibration); its weights and both thresholds are frozen constants
+calibrated once on the seeded fixture (never refit per run — §4.4
+cross-run determinism).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from el.simfn import cosine_dense, cosine_sparse, jaro_winkler
+
+
+@dataclass(frozen=True)
+class ScoringConfig:
+    # logistic score (reported, used for ranking)
+    w_name: float = 14.0
+    w_ctx: float = 16.0
+    # conjunction decision thresholds (is_match); calibrated on the
+    # seeded fixture: positives name_sim>=0.82/cos_tfidf>=0.25,
+    # collision negatives cos_tfidf<=0.04, topic-block negatives
+    # name_sim<=0.7 — both thresholds sit mid-gap
+    t_name: float = 0.80
+    t_ctx: float = 0.12
+    topic_blend: float = 0.3  # ctx = (1-b)*cos_tfidf + b*cos_topic (if topics)
+    jw_weight: float = 0.6  # name_sim = jw_weight*jw + (1-jw_weight)*lev_sim
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("jw", T.DoubleType(), False),
+        T.StructField("cos_tfidf", T.DoubleType(), False),
+        T.StructField("cos_topic", T.DoubleType(), False),
+    ]
+)
+
+
+def _features_udf(cfg: ScoringConfig):
+    @F.pandas_udf(_FEATURES_SCHEMA)
+    def feats(
+        a_norm: pd.Series,
+        b_norm: pd.Series,
+        a_idx: pd.Series,
+        a_val: pd.Series,
+        b_idx: pd.Series,
+        b_val: pd.Series,
+        a_topic: pd.Series,
+        b_topic: pd.Series,
+    ) -> pd.DataFrame:
+        jw = jaro_winkler(
+            a_norm.fillna("").tolist(), b_norm.fillna("").tolist()
+        )
+        cos_t = cosine_sparse(
+            a_idx.tolist(), a_val.tolist(), b_idx.tolist(), b_val.tolist()
+        )
+        cos_k = cosine_dense(a_topic.tolist(), b_topic.tolist())
+        return pd.DataFrame({"jw": jw, "cos_tfidf": cos_t, "cos_topic": cos_k})
+
+    return feats
+
+
+def _attach_side(pairs: DataFrame, mentions: DataFrame, side: str) -> DataFrame:
+    sel = mentions.select(
+        F.col("mention_id").alias(f"{side}_id"),
+        F.col("norm_name").alias(f"{side}_norm"),
+        F.col("tfidf").alias(f"{side}_tfidf"),
+        F.col("topic_vec").alias(f"{side}_topic"),
+    )
+    return pairs.join(sel, on=f"{side}_id", how="inner")
+
+
+def score_pairs(
+    pairs: DataFrame,
+    mentions: DataFrame,
+    cfg: ScoringConfig = ScoringConfig(),
+) -> DataFrame:
+    """candidate_pairs x mentions -> scored_pairs.
+
+    mentions must carry ``tfidf`` (el.tfidf.TfidfModel.transform) and
+    ``topic_vec`` (el.topics; may be NULL -> cos_topic = 0 and the
+    context signal is pure TF-IDF)."""
+    if "topic_vec" not in mentions.columns:
+        mentions = mentions.withColumn(
+            "topic_vec", F.lit(None).cast(T.ArrayType(T.DoubleType()))
+        )
+    df = _attach_side(_attach_side(pairs, mentions, "a"), mentions, "b")
+
+    lev_sim = (
+        F.lit(1.0)
+        - F.levenshtein("a_norm", "b_norm")
+        / F.greatest(F.length("a_norm"), F.length("b_norm"), F.lit(1))
+    ).alias("lev_sim")
+
+    feats = _features_udf(cfg)
+    df = df.withColumn(
+        "f",
+        feats(
+            "a_norm",
+            "b_norm",
+            F.col("a_tfidf.idx"),
+            F.col("a_tfidf.val"),
+            F.col("b_tfidf.idx"),
+            F.col("b_tfidf.val"),
+            "a_topic",
+            "b_topic",
+        ),
+    ).withColumn("lev_sim", lev_sim)
+
+    has_topic = F.col("a_topic").isNotNull() & F.col("b_topic").isNotNull()
+    ctx = F.when(
+        has_topic,
+        (1 - cfg.topic_blend) * F.col("f.cos_tfidf")
+        + cfg.topic_blend * F.col("f.cos_topic"),
+    ).otherwise(F.col("f.cos_tfidf"))
+    name_sim = cfg.jw_weight * F.col("f.jw") + (1 - cfg.jw_weight) * F.col(
+        "lev_sim"
+    )
+    z = cfg.w_name * (name_sim - cfg.t_name) + cfg.w_ctx * (ctx - cfg.t_ctx)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    is_match = (name_sim >= cfg.t_name) & (ctx >= cfg.t_ctx)
+
+    return df.select(
+        "a_id",
+        "b_id",
+        "a_url",
+        "b_url",
+        "block_key",
+        "strategy",
+        F.col("f.jw").alias("jw"),
+        "lev_sim",
+        F.col("f.cos_tfidf").alias("cos_tfidf"),
+        F.col("f.cos_topic").alias("cos_topic"),
+        score.alias("score"),
+        is_match.alias("is_match"),
+    )
+
+
+def matched_edges(scored: DataFrame) -> DataFrame:
+    return scored.where("is_match").select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+
+
+def sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
