@@ -1,0 +1,128 @@
+"""LDA topic-id buckets for disambiguation blocking (SURVEY.md V6).
+
+Implements the north-star's "LDA topic-id buckets mirroring the
+reference's topic-model disambiguation" (BASELINE.json north_star):
+a pyspark.ml pipeline RegexTokenizer -> CountVectorizer -> LDA fitted
+over mention contexts; every mention gets a topic distribution
+(``topic_vec``, plain array<double> at the table boundary — VectorUDT
+never leaks past this module, SURVEY.md §1.2) and a block key
+``tp:<argmax topic>``. Same-name entities that live in different
+topics land in different buckets, and the ``cos_topic`` scoring
+feature separates them even when they collide in a name block.
+
+Determinism across cluster sizes (SURVEY.md §4.4): LDA's online
+optimizer subsamples per partition, so *refitting* at a different
+parallelism can drift. The model is therefore a persisted artifact —
+``fit`` once, ``save``, and every production run ``load``s it; the
+bench protocol fits one model and reuses it at both parallelism
+levels. Tests that fit per-run pin seed + a single session.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from el.schemas import BLOCK_KEYS
+
+
+def _stages():
+    from pyspark.ml.feature import CountVectorizer, RegexTokenizer
+
+    tok = RegexTokenizer(
+        inputCol="__text", outputCol="__toks", pattern="[^a-z0-9]+", toLowercase=True
+    )
+    return tok, CountVectorizer
+
+
+@dataclass
+class TopicModel:
+    tokenizer: object
+    cv_model: object
+    lda_model: object
+    k: int
+
+    @classmethod
+    def fit(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        text_col: str,
+        k: int = 10,
+        vocab_size: int = 4096,
+        min_df: int = 2,
+        max_iter: int = 30,
+        seed: int = 13,
+    ) -> "TopicModel":
+        from pyspark.ml.clustering import LDA
+
+        tok, CountVectorizer = _stages()
+        docs = (
+            df.select(F.col(text_col).alias("__text"))
+            .where(F.col("__text").isNotNull())
+            .distinct()
+        )
+        toked = tok.transform(docs)
+        cv = CountVectorizer(
+            inputCol="__toks", outputCol="__tf", vocabSize=vocab_size, minDF=min_df
+        ).fit(toked)
+        tf = cv.transform(toked)
+        lda = LDA(
+            k=k,
+            maxIter=max_iter,
+            seed=seed,
+            featuresCol="__tf",
+            topicDistributionCol="__topics",
+            optimizer="online",
+        ).fit(tf)
+        return cls(tok, cv, lda, k)
+
+    def transform(self, df: DataFrame, text_col: str, out_col: str) -> DataFrame:
+        """df -> + ``out_col``: array<double> topic distribution."""
+        from pyspark.ml.functions import vector_to_array
+
+        cols = df.columns
+        staged = df.withColumn("__text", F.coalesce(F.col(text_col), F.lit("")))
+        staged = self.tokenizer.transform(staged)
+        staged = self.cv_model.transform(staged)
+        staged = self.lda_model.transform(staged)
+        return staged.select(
+            *cols, vector_to_array(F.col("__topics")).alias(out_col)
+        )
+
+    def bucket_keys(
+        self, df_with_vec: DataFrame, vec_col: str = "topic_vec"
+    ) -> DataFrame:
+        """mentions+topic_vec -> BLOCK_KEYS rows with strategy 'topic'.
+
+        Bucket = argmax of the topic distribution, computed JVM-side
+        (array_position/array_max stay in whole-stage codegen). Topic
+        buckets are intentionally coarse — the per-block cap
+        (el.blocking.cap_blocks) bounds their pair fan-out."""
+        vec = F.col(vec_col)
+        bucket = (F.array_position(vec, F.array_max(vec)) - 1).cast("int")
+        return df_with_vec.select(
+            "mention_id",
+            "url",
+            F.lit("topic").alias("strategy"),
+            F.concat(F.lit("tp:"), bucket.cast("string")).alias("block_key"),
+            F.lit(0).alias("salt"),
+        ).select([f.name for f in BLOCK_KEYS.fields])
+
+    # -- persistence (fit-once artifact; SURVEY.md §4.4) ------------------
+
+    def save(self, path: str) -> None:
+        self.cv_model.write().overwrite().save(f"{path}/cv")
+        self.lda_model.write().overwrite().save(f"{path}/lda")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "TopicModel":
+        from pyspark.ml.clustering import LocalLDAModel
+        from pyspark.ml.feature import CountVectorizerModel
+
+        tok, _ = _stages()
+        cv = CountVectorizerModel.load(f"{path}/cv")
+        lda = LocalLDAModel.load(f"{path}/lda")
+        return cls(tok, cv, lda, lda.getK())

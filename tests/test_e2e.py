@@ -1,12 +1,11 @@
-"""End-to-end gate: full pipeline on the seeded fixture.
-
-The BASELINE.md gate (F1 >= 0.99 with all three blocking strategies)
-is asserted in test_e2e_full once M3 lands; this module always keeps
-the name-token-only slice green as the regression floor."""
+"""End-to-end gate: full pipeline (all three blocking strategies —
+name_token + lsh_band + LDA topic buckets) on the seeded fixture.
+This is the BASELINE.md gate: pairwise F1 >= 0.99 on labeled pairs."""
 
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from el.evaluate import blocking_recall, pairwise_scores, primary_clusters
 from el.fixtures import gen_labeled_pairs, gen_web_pages
@@ -18,12 +17,22 @@ N_PAGES = 1200
 @pytest.fixture(scope="module")
 def e2e(spark):
     pages = gen_web_pages(spark, N_PAGES).persist()
-    cfg = PipelineConfig(use_lsh=False, use_topics=False)
+    cfg = PipelineConfig(use_lsh=True, use_topics=True)
     out = run_pipeline(spark, pages, cfg)
     out["mentions"] = out["mentions"].persist()
+    out["block_keys"] = out["block_keys"].persist()
+    out["scored_pairs"] = out["scored_pairs"].persist()
     out["clusters"] = out["clusters"].persist()
     labeled = gen_labeled_pairs(spark, N_PAGES).persist()
     return out, labeled
+
+
+def test_all_three_strategies_present(spark, e2e):
+    out, _ = e2e
+    strategies = {
+        r[0] for r in out["block_keys"].select("strategy").distinct().collect()
+    }
+    assert strategies == {"name_token", "lsh_band", "topic"}
 
 
 def test_blocking_recall_floor(spark, e2e):

@@ -1,0 +1,55 @@
+"""LDA topic-bucket properties: valid bucket keys, persistence
+round-trip, and topical separation on a synthetic two-topic corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from el.topics import TopicModel
+
+SPORT = "match goal team league season coach striker defender stadium fans"
+FINANCE = "market stock bond yield equity portfolio dividend hedge asset fund"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(60):
+        words = (SPORT if i % 2 == 0 else FINANCE).split()
+        text = " ".join(words[(i + j) % len(words)] for j in range(24))
+        rows.append((i, f"u{i}", text))
+    return spark.createDataFrame(
+        rows, "mention_id long, url string, context string"
+    ).persist()
+
+
+def test_buckets_separate_topics(spark, corpus, tmp_path_factory):
+    tm = TopicModel.fit(spark, corpus, "context", k=4, min_df=1, max_iter=25)
+    vec = tm.transform(corpus, "context", "topic_vec")
+    keys = tm.bucket_keys(vec).persist()
+    assert keys.count() == 60
+    assert keys.where(~F.col("block_key").startswith("tp:")).count() == 0
+    # sport docs agree with each other on a bucket; finance docs too;
+    # and the two groups use different buckets
+    joined = keys.join(
+        corpus.select("mention_id", (F.col("mention_id") % 2 == 0).alias("is_sport")),
+        on="mention_id",
+    )
+    per_group = (
+        joined.groupBy("is_sport")
+        .agg(F.count_distinct("block_key").alias("nk"),
+             F.min("block_key").alias("mode_key"))
+        .collect()
+    )
+    by_group = {r.is_sport: r for r in per_group}
+    assert by_group[True].nk == 1
+    assert by_group[False].nk == 1
+    assert by_group[True].mode_key != by_group[False].mode_key
+
+    # persistence round-trip: loaded model produces identical buckets
+    path = str(tmp_path_factory.mktemp("lda_model"))
+    tm.save(path)
+    tm2 = TopicModel.load(spark, path)
+    keys2 = tm2.bucket_keys(tm2.transform(corpus, "context", "topic_vec"))
+    assert sorted(map(tuple, keys.collect())) == sorted(map(tuple, keys2.collect()))
