@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round).
+
+Runs the headline relational queries over the driver testdata at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) plus the full
+entity-resolution pipeline on the deterministic synthetic corpus
+scaled to the same sf, on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON
+line:
+
+  {"metric": "bench_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "pipeline": {n_pages, n_mentions, n_pairs, pairs_per_sec, ...}}
+
+Timing discipline: every query is materialized with a noop-format
+write (full column evaluation — a bare count() would let Catalyst
+prune projection work); one warm-up action absorbs JVM/Python-worker
+startup so per-query numbers measure the plan, not the fork.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# headline operator queries (from el.queries.REGISTRY) benched per round
+HEADLINE = [
+    "a1_pricing_summary",
+    "j1_selfjoin_docs_lang",
+    "j3_broadcast_nation_counts",
+    "j6_range_join_parts",
+    "w1_per_block_cap",
+    "p4_latest_event_per_user",
+    "f10_events_per_day",
+]
+# added as the op families land (dedup / similarity / text analysis)
+HEADLINE_OPTIONAL = [
+    "dd1_exact_dedup_docs",
+    "dd2_minhash_lsh_dedup",
+    "dd3_simhash_dedup",
+    "dd5_embedding_neardup",
+    "ann1_cosine_topk",
+    "tx1_language_id",
+    "tx2_quality_score",
+]
+
+PAGES_PER_SF = 60_000  # synthetic corpus size per unit sf
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_pipeline(spark, sf: float) -> tuple[dict, dict]:
+    from el.fixtures import gen_web_pages
+    from el.pipeline import PipelineConfig, run_pipeline
+
+    n_pages = max(600, int(sf * PAGES_PER_SF))
+    times: dict[str, float] = {}
+    info: dict[str, float | int] = {"n_pages": n_pages}
+
+    t = time.time()
+    pages = gen_web_pages(spark, n_pages).persist()
+    pages.count()
+    times["pipeline_gen"] = round(time.time() - t, 3)
+
+    cfg = PipelineConfig()
+    t = time.time()
+    out = run_pipeline(spark, pages, cfg)
+    mentions = out["mentions"].persist()
+    info["n_mentions"] = mentions.count()
+    times["pipeline_extract_block_fit"] = round(time.time() - t, 3)
+
+    t = time.time()
+    pairs = out["candidate_pairs"].persist()
+    info["n_pairs"] = pairs.count()
+    times["pipeline_pairs"] = round(time.time() - t, 3)
+
+    t = time.time()
+    scored = out["scored_pairs"].persist()
+    n_scored = scored.count()
+    dt = time.time() - t
+    times["pipeline_score"] = round(dt, 3)
+    info["pairs_per_sec"] = round(n_scored / max(dt, 1e-9), 1)
+
+    t = time.time()
+    clusters = out["clusters"]
+    info["n_clusters"] = clusters.select("cluster_id").distinct().count()
+    times["pipeline_cluster"] = round(time.time() - t, 3)
+
+    total = sum(times.values())
+    info["pages_per_sec"] = round(n_pages / max(total, 1e-9), 1)
+    for df in (pages, mentions, pairs, scored):
+        df.unpersist()
+    return times, info
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or "32"
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from el.conf import get_spark
+    from el.queries import REGISTRY
+
+    spark = get_spark(
+        app_name="el-bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: absorb JVM + Python-worker startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    queries: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE + [q for q in HEADLINE_OPTIONAL if q in REGISTRY]:
+        fn = REGISTRY[name].fn
+        t = time.time()
+        _materialize(fn(spark, sf_dir))
+        queries[name] = round(time.time() - t, 3)
+
+    pipe_times, pipe_info = bench_pipeline(spark, sf)
+    queries.update(pipe_times)
+
+    total = round(time.time() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "pipeline": pipe_info,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

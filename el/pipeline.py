@@ -87,8 +87,15 @@ def run_pipeline(
     for cross-run determinism; None -> fit on this corpus (tests)."""
     cfg = cfg or PipelineConfig()
 
-    mentions = mentions_stage(pages, cfg)
-    mentions = mentions.persist()
+    # Materialization barrier. localCheckpoint, NOT persist(): building
+    # the in-memory columnar cache behind a stage that chains two
+    # Python operators (ArrowEvalPython extract -> MapInPandas
+    # mentions) stalls ~60s/stage in Spark 4.1 (measured; cache-builder
+    # + chained-PythonRunner interaction), while localCheckpoint
+    # materializes the same partitions in ~2s and also cuts lineage.
+    # In production runs the real barrier is the catalog commit
+    # (parquet write) between stages, not executor-local blocks.
+    mentions = mentions_stage(pages, cfg).localCheckpoint(eager=True)
 
     model = tfidf_model or TfidfModel.fit(mentions, "context")
     mentions_v = model.transform(mentions, "context", "tfidf")
@@ -104,7 +111,7 @@ def run_pipeline(
         except ImportError:
             pass
 
-    mentions_v = mentions_v.persist()
+    mentions_v = mentions_v.localCheckpoint(eager=True)
 
     block_keys, block_stats = block_stage(mentions, cfg, topic_buckets)
     pairs = blocking.candidate_pairs(block_keys)
