@@ -1,0 +1,287 @@
+"""Document deduplication for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup
+(task brief: first-class ops).
+
+Scale notes:
+- exact dedup groups on sha2(text) — fixed-width shuffle keys instead
+  of full documents; at 100 TB the shuffle moves 32-byte digests + ids,
+  never text payloads.
+- near-dup families are all block-then-verify: candidates come from an
+  LSH/band/bucket equi-join (linear-ish), the exact similarity is only
+  computed per candidate pair. No all-pairs product anywhere except
+  the explicitly-bounded brute-force oracle paths.
+- SimHash banding: a 64-bit simhash split into 4 x 16-bit bands finds
+  every pair within Hamming distance 3 (pigeonhole: <=3 flipped bits
+  cannot touch all 4 bands).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from el.hashing import splitmix64
+from el.minhash import lsh_band_keys
+from el.textops import tokens_of
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+# -- exact ---------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct text: (keep_id = min id, n_copies).
+    Hash-groupBy on sha2(text) — partial aggregation map-side, only
+    digests shuffle."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(F.sha2(F.col(text_col), 256).alias("_key"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+# -- n-gram Jaccard ------------------------------------------------------
+
+
+def token_ngrams(col, n: int = 3):
+    """Distinct token n-grams (space-joined) as a Spark expression.
+    Guarded: fewer than n tokens -> empty array (F.sequence(1, 0)
+    would otherwise produce a DESCENDING [1, 0])."""
+    toks = tokens_of(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast(T.ArrayType(T.StringType()))
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard, blocked on ``block_col``
+    (equi-join, not a cross product). Emits (a_id, b_id, jaccard) —
+    jaccard is an exact ratio of integer cardinalities, bit-identical
+    across engines."""
+    g = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        token_ngrams(F.col(text_col), n).alias("_grams"),
+    )
+    a = g.select(
+        F.col("_id").alias("a_id"),
+        F.col("_blk").alias("_blk"),
+        F.col("_grams").alias("a_grams"),
+    )
+    b = g.select(
+        F.col("_id").alias("b_id"),
+        F.col("_blk").alias("_blk"),
+        F.col("_grams").alias("b_grams"),
+    )
+    inter = F.size(F.array_intersect("a_grams", "b_grams")).cast("double")
+    union = F.size(F.array_union("a_grams", "b_grams")).cast("double")
+    jac = inter / F.greatest(union, F.lit(1.0))
+    return (
+        a.join(b, on="_blk")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -- MinHash + LSH -------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    rows: int = 4,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash band collision (reuses the
+    el.minhash kernel): shingle -> minhash -> band -> bucket equi-join.
+    Linear in corpus size; collision prob 1-(1-s^rows)^bands."""
+    keyed = lsh_band_keys(
+        df.select(
+            F.col(id_col).alias("mention_id"),
+            F.col(id_col).cast("string").alias("url"),
+            F.col(text_col).alias("context"),
+        ),
+        shingle_k=shingle_k,
+        rows=rows,
+        bands=bands,
+    )
+    a = keyed.select(F.col("mention_id").alias("a_id"), "block_key")
+    b = keyed.select(F.col("mention_id").alias("b_id"), "block_key")
+    return (
+        a.join(b, on="block_key")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+# -- SimHash -------------------------------------------------------------
+
+
+def simhash_py(tokens: list[str]) -> int:
+    """64-bit SimHash (Charikar 2002) of a token multiset: sign of the
+    per-bit sum of token-hash bit vectors. Pure function for tests."""
+    if not tokens:
+        return 0
+    hs = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = _FNV_OFFSET
+        with np.errstate(over="ignore"):
+            for ch in t.encode("utf-8", errors="replace"):
+                h = (h ^ np.uint64(ch)) * _FNV_PRIME
+        hs[i] = splitmix64(np.array([h], dtype=np.uint64))[0]
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    sums = (2 * bits - 1).sum(axis=0)
+    word = np.uint64(0)
+    for j in range(64):
+        if sums[j] > 0:
+            word |= np.uint64(1) << np.uint64(j)
+    return int(word.astype(np.int64))
+
+
+def simhash_col(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash) via a vectorized mapInPandas kernel."""
+    cols = df.select(id_col, text_col)
+
+    def gen(batches):
+        import re
+
+        tok_re = re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col].tolist():
+                toks = tok_re.findall(t.lower()) if isinstance(t, str) else []
+                out.append(simhash_py(toks))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+    return cols.mapInPandas(gen, schema=schema)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, found by
+    4x16-bit band collision (complete for max_hamming <= 3) and
+    verified with a JVM-side popcount."""
+    sh = simhash_col(df, text_col, id_col)
+    bands = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"), "band_key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sh"), "band_key"
+    )
+    cand = (
+        a.join(b, on="band_key")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return cand.select(
+        "a_id", "b_id", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# -- embedding cosine near-dup ------------------------------------------
+
+
+def cosine_expr(a, b):
+    """Exact cosine between two array<float|double> columns, computed
+    JVM-side (zip_with dot + aggregate norms); doubles throughout."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup vector pairs with cosine >= threshold, blocked on
+    ``block_col`` when given (equi-join); ids only — float values stay
+    out of the comparison surface."""
+    sel = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if block_col:
+        sel.append(F.col(block_col).alias("_blk"))
+    g = df.select(*sel)
+    a = g.select(
+        *[F.col(c).alias(f"a{c}") for c in ("_id", "_v")],
+        *([F.col("_blk")] if block_col else []),
+    )
+    b = g.select(
+        *[F.col(c).alias(f"b{c}") for c in ("_id", "_v")],
+        *([F.col("_blk")] if block_col else []),
+    )
+    joined = a.join(b, on="_blk") if block_col else a.crossJoin(b)
+    return (
+        joined.where(F.col("a_id") < F.col("b_id"))
+        .where(cosine_expr(F.col("a_v"), F.col("b_v")) >= threshold)
+        .select("a_id", "b_id")
+    )

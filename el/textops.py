@@ -1,0 +1,190 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, and document
+fingerprinting (task brief: first-class ops alongside SURVEY.md §2).
+
+Everything here is built from pyspark.sql builtin functions — the
+whole module stays inside whole-stage codegen (no Python in the hot
+path). The one genuinely non-relational op (winnowing fingerprints,
+Schleimer et al., SIGMOD 2003) is a vectorized mapInPandas kernel.
+
+Shared tokenization spec (mirrored exactly by the DuckDB oracles in
+el.queries): lower -> split on '[^a-z0-9]+' -> drop empties.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from el.hashing import splitmix64
+
+# distinct-hit stopword lists (order matters: argmax tie-break is the
+# list order en > fr > es > de)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "was", "for", "with", "that"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans"],
+    "es": ["el", "los", "las", "y", "de", "que", "en", "un", "una", "por"],
+    "de": ["der", "die", "das", "und", "von", "zu", "ist", "mit", "den", "ein"],
+}
+
+LANGS = list(STOPWORDS)
+
+
+def tokens_of(col: Column) -> Column:
+    """The shared tokenization spec as a Spark expression."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: F.length(t) > 0
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """+ ``pred_lang``: argmax of distinct-stopword-hit counts, ties
+    broken by the fixed language order; no hits at all -> 'und'."""
+    toks = tokens_of(F.col(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    s = {k: F.coalesce(v, F.lit(0)) for k, v in scores.items()}
+    pred = (
+        F.when(
+            (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] >= s["de"]),
+            F.lit("en"),
+        )
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["de"]), F.lit("fr"))
+        .when(s["es"] >= s["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    total = sum(s.values())
+    return df.withColumn(
+        "pred_lang", F.when(total <= 0, F.lit("und")).otherwise(pred)
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """+ length/stopword/alnum features and a [0,1] quality score.
+
+    All-double arithmetic over exact integer inputs — bit-identical
+    across engines, so the DuckDB oracle compares raw values."""
+    text = F.col(text_col)
+    toks = tokens_of(text)
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(toks, en_stop)).cast("double")
+    alnum_chars = F.length(
+        F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")
+    ).cast("double")
+    token_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    ).cast("double")
+
+    stop_ratio = stop_hits / F.lit(10.0)
+    alnum_ratio = alnum_chars / F.greatest(n_chars, F.lit(1.0))
+    avg_token_len = token_chars / F.greatest(n_tokens, F.lit(1.0))
+    len_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    wordlen_score = F.lit(1.0) - F.least(
+        F.abs(avg_token_len - F.lit(5.0)) / F.lit(5.0), F.lit(1.0)
+    )
+    quality = (
+        F.lit(0.3) * len_score
+        + F.lit(0.3) * alnum_ratio
+        + F.lit(0.2) * stop_ratio
+        + F.lit(0.2) * wordlen_score
+    )
+    return df.select(
+        "*",
+        n_tokens.cast("long").alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        alnum_ratio.alias("alnum_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+# BPE-ish pre-token pattern: letter runs, single digits, or single
+# non-alnum-non-space marks (the GPT-2 pre-tokenizer shape, simplified
+# to a class-only regex so Java and RE2 agree)
+BPE_ISH = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """+ whitespace token count and BPE-ish sub-token count."""
+    text = F.col(text_col)
+    ws = F.size(F.split(F.trim(text), "\\s+")).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH), 0)).cast(
+        "long"
+    )
+    return df.select(
+        "*",
+        F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(ws).alias(
+            "ws_tokens"
+        ),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+def content_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """+ ``fp_md5``: md5 of whitespace/case-normalized text — the
+    exact-dedup key that survives formatting differences."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    return df.withColumn("fp_md5", F.md5(norm))
+
+
+# -- winnowing fingerprints (rolling hash; mapInPandas kernel) ----------
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def winnow_py(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing fingerprint set (Schleimer et al. 2003): k-gram
+    rolling hashes, min per sliding window, deduped, sorted. Pure
+    function used by both the Spark kernel and the pytest oracle."""
+    b = text.lower().encode("utf-8", errors="replace")
+    if len(b) < k:
+        return []
+    arr = np.frombuffer(b, dtype=np.uint8)
+    win_view = np.lib.stride_tricks.sliding_window_view(arr, k)
+    h = np.full(win_view.shape[0], _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = (h ^ win_view[:, j].astype(np.uint64)) * _FNV_PRIME
+        h = splitmix64(h)
+    if h.size < window:
+        mins = np.array([h.min()], dtype=np.uint64)
+    else:
+        mins = np.min(
+            np.lib.stride_tricks.sliding_window_view(h, window), axis=1
+        )
+    out = np.unique(mins).astype(np.int64)
+    return out.tolist()
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 8, window: int = 4,
+) -> DataFrame:
+    """(id, text) -> (id, fingerprints array<bigint>, n_fp)."""
+    cols = df.select(id_col, text_col)
+
+    def gen(batches):
+        for pdf in batches:
+            fps = [
+                winnow_py(t, k, window) if isinstance(t, str) else []
+                for t in pdf[text_col].tolist()
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "fingerprints": fps})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("fingerprints", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    return cols.mapInPandas(gen, schema=schema).withColumn(
+        "n_fp", F.size("fingerprints").cast("long")
+    )

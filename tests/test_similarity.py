@@ -1,0 +1,61 @@
+"""Similarity-search properties: brute-force top-k vs a numpy oracle,
+LSH bucket determinism, and LSH recall floor vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from el.similarity import brute_force_topk, lsh_buckets, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    qids = [i for i in range(3)]
+    got = brute_force_topk(emb, emb.where(f"vec_id < 3"), k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.n_id))
+    for q in qids:
+        qv = vecs[q]
+        cos = {
+            n: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for n, v in vecs.items()
+            if n != q
+        }
+        want = [n for n, _ in sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+        assert [n for _, n in sorted(by_q[q])] == want
+
+
+def test_lsh_buckets_deterministic_and_partition_invariant(spark, emb):
+    b1 = {(r.vec_id, r.bucket) for r in lsh_buckets(emb).collect()}
+    b2 = {(r.vec_id, r.bucket) for r in lsh_buckets(emb.repartition(13)).collect()}
+    assert b1 == b2
+    n_buckets = len({b for _, b in b1})
+    assert n_buckets > 8  # spreads across sign patterns
+
+
+def test_lsh_topk_recall_floor(spark, emb):
+    k = 10
+    q = emb.where("vec_id < 20")
+    exact = brute_force_topk(emb, q, k=k).collect()
+    approx = lsh_topk(emb, q, k=k, n_planes=4, n_tables=8).collect()
+    exact_set = {(r.q_id, r.n_id) for r in exact}
+    approx_set = {(r.q_id, r.n_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 8 tables x 4 planes (OR-of-ANDs): a cos~0.4 neighbor collides in
+    # at least one table with prob ~0.75
+    assert recall >= 0.5, recall
+    # approximate results are always a subset of the same-bucket pairs,
+    # and ranks are dense per query
+    for qid in {r.q_id for r in approx}:
+        ranks = sorted(r.rank for r in approx if r.q_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
