@@ -145,27 +145,40 @@ def minhash_lsh_pairs(
 # -- SimHash -------------------------------------------------------------
 
 
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+# token -> hash memo (Zipfian vocab: most tokens repeat across docs)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hash(t: str) -> int:
+    """splitmix64(FNV-1a(token)) as a Python int (scalar Python-int
+    arithmetic; numpy scalar ops are ~50x slower per char)."""
+    h = _TOKEN_HASH_CACHE.get(t)
+    if h is not None:
+        return h
+    x = 0xCBF29CE484222325
+    for ch in t.encode("utf-8", errors="replace"):
+        x = ((x ^ ch) * 0x100000001B3) & _MASK64
+    h = int(splitmix64(np.array([x], dtype=np.uint64))[0])
+    if len(_TOKEN_HASH_CACHE) < 1_000_000:
+        _TOKEN_HASH_CACHE[t] = h
+    return h
+
+
 def simhash_py(tokens: list[str]) -> int:
     """64-bit SimHash (Charikar 2002) of a token multiset: sign of the
     per-bit sum of token-hash bit vectors. Pure function for tests."""
     if not tokens:
         return 0
-    hs = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = _FNV_OFFSET
-        with np.errstate(over="ignore"):
-            for ch in t.encode("utf-8", errors="replace"):
-                h = (h ^ np.uint64(ch)) * _FNV_PRIME
-        hs[i] = splitmix64(np.array([h], dtype=np.uint64))[0]
+    hs = np.fromiter(
+        (_token_hash(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int64
     )
     sums = (2 * bits - 1).sum(axis=0)
-    word = np.uint64(0)
-    for j in range(64):
-        if sums[j] > 0:
-            word |= np.uint64(1) << np.uint64(j)
-    return int(word.astype(np.int64))
+    word = int(((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return int(np.uint64(word & _MASK64).astype(np.int64))
 
 
 def simhash_col(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -886,3 +886,53 @@ def mm2_blob_features(spark, sf_dir):
     return feature_stub(gen_blobs(spark, 200)).select(
         "blob_id", F.size("features").alias("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 streaming batch twins (el.streaming — same expression serves
+# the readStream plan; the batch twin is what DuckDB can oracle)
+# ---------------------------------------------------------------------------
+
+
+@check(
+    "st2_tumbling_window_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           count(*) AS n,
+           {dv} AS total_value
+    FROM events GROUP BY 1
+    """.format(dv=_dsum_sql("value", 6)),
+)
+def st2_tumbling_window_counts(spark, sf_dir):
+    from el.streaming import windowed_counts
+
+    return windowed_counts(_t(spark, sf_dir, "events"), window="1 hour")
+
+
+@check(
+    "st3_session_window_counts",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def st3_session_window_counts(spark, sf_dir):
+    from el.streaming import session_counts
+
+    return session_counts(_t(spark, sf_dir, "events"), gap="30 minutes")

@@ -111,6 +111,20 @@ def jaro_winkler(a: list[str], b: list[str]) -> np.ndarray:
     return np.where(j > _WINKLER_THRESHOLD, boosted, j)
 
 
+def _flatten_sparse(idx: list, val: list):
+    """Ragged sparse batch -> (row_ids, flat_idx, flat_val)."""
+    n = len(idx)
+    lens = np.fromiter(
+        (0 if v is None else len(v) for v in idx), dtype=np.int64, count=n
+    )
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    nonempty = [np.asarray(v, dtype=np.int64) for v in idx if v is not None and len(v)]
+    vals = [np.asarray(v, dtype=np.float64) for v in val if v is not None and len(v)]
+    flat_i = np.concatenate(nonempty) if nonempty else np.zeros(0, np.int64)
+    flat_v = np.concatenate(vals) if vals else np.zeros(0, np.float64)
+    return rows, flat_i, flat_v
+
+
 def cosine_sparse(
     a_idx: list[np.ndarray],
     a_val: list[np.ndarray],
@@ -118,30 +132,52 @@ def cosine_sparse(
     b_val: list[np.ndarray],
 ) -> np.ndarray:
     """Cosine of unit-normalized sparse vectors (sorted index arrays).
-    Vectors are pre-normalized at transform time, so cos == sparse dot."""
-    out = np.zeros(len(a_idx))
-    for i in range(len(a_idx)):
-        ai, bi = a_idx[i], b_idx[i]
-        if ai is None or bi is None or len(ai) == 0 or len(bi) == 0:
-            continue
-        common, ca, cb = np.intersect1d(
-            ai, bi, assume_unique=True, return_indices=True
-        )
-        if len(common):
-            out[i] = float(np.dot(a_val[i][ca], b_val[i][cb]))
-    return out
+    Vectors are pre-normalized at transform time, so cos == sparse dot.
+
+    Fully vectorized across the batch: each (row, bucket) pair becomes
+    one 64-bit key (bucket < 2^18, so ``row << 32 | bucket`` is exact),
+    the a/b key sets intersect in one sort, and the per-row dot is a
+    single bincount — no per-pair Python."""
+    n = len(a_idx)
+    if n == 0:
+        return np.zeros(0)
+    ra, ia, va = _flatten_sparse(a_idx, a_val)
+    rb, ib, vb = _flatten_sparse(b_idx, b_val)
+    if ia.size == 0 or ib.size == 0:
+        return np.zeros(n)
+    ka = (ra << np.int64(32)) | ia
+    kb = (rb << np.int64(32)) | ib
+    common, pa, pb = np.intersect1d(
+        ka, kb, assume_unique=True, return_indices=True
+    )
+    if common.size == 0:
+        return np.zeros(n)
+    prods = va[pa] * vb[pb]
+    return np.bincount(common >> np.int64(32), weights=prods, minlength=n)
 
 
 def cosine_dense(a: list, b: list) -> np.ndarray:
-    """Cosine over dense arrays (topic vectors, embeddings)."""
-    out = np.zeros(len(a))
-    for i in range(len(a)):
-        x, y = a[i], b[i]
-        if x is None or y is None:
-            continue
-        x = np.asarray(x, dtype=np.float64)
-        y = np.asarray(y, dtype=np.float64)
-        nx, ny = np.linalg.norm(x), np.linalg.norm(y)
-        if nx > 0 and ny > 0:
-            out[i] = float(np.dot(x, y) / (nx * ny))
+    """Cosine over dense arrays (topic vectors). Vectorized when the
+    batch is rectangular (the common case: fixed topic dim)."""
+    n = len(a)
+    out = np.zeros(n)
+    if n == 0:
+        return out
+    mask = np.fromiter(
+        (x is not None and y is not None for x, y in zip(a, b)),
+        dtype=bool,
+        count=n,
+    )
+    if not mask.any():
+        return out
+    xs = np.array([np.asarray(a[i], dtype=np.float64) for i in np.flatnonzero(mask)])
+    ys = np.array([np.asarray(b[i], dtype=np.float64) for i in np.flatnonzero(mask)])
+    dots = np.einsum("ij,ij->i", xs, ys)
+    nx = np.linalg.norm(xs, axis=1)
+    ny = np.linalg.norm(ys, axis=1)
+    denom = nx * ny
+    safe = denom > 0
+    vals = np.zeros(len(dots))
+    vals[safe] = dots[safe] / denom[safe]
+    out[np.flatnonzero(mask)] = vals
     return out

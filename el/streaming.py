@@ -1,0 +1,152 @@
+"""Structured Streaming ingestion surface (SURVEY.md §2.10).
+
+The batch pipeline is the north rule; streaming is the ingestion edge:
+new crawl batches appended to ``web_pages`` and event streams rolled
+up with event-time semantics. Batch-first rule: every op here is
+written against a plain DataFrame, so the SAME function serves the
+batch twin (testable vs the DuckDB oracle) and the streaming plan
+(``spark.readStream`` + watermark); pytest runs both and asserts they
+agree.
+
+Operators:
+- ST1 watermarking: ``with_watermark`` (late rows beyond the horizon
+  are dropped from state, not silently kept unbounded)
+- ST2 tumbling/sliding windows: ``windowed_counts``
+- ST3 session windows: ``session_counts`` (gap-merged)
+- ST4 stateful stream dedup: ``dedup_stream`` via
+  ``dropDuplicatesWithinWatermark`` on url (late/duplicate re-crawls)
+- ST5 streaming sink: ``sink_to_catalog`` — ``foreachBatch`` committing
+  each micro-batch atomically through the el.catalog manifest path
+  (exactly-once per micro-batch re-delivery: batch id in table name,
+  overwrite-idempotent)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from el.catalog import HadoopParquetCatalog
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "1 hour"):
+    """ST1: event-time watermark (no-op marker on a batch DataFrame).
+
+    The event-time column is cast TIMESTAMP_NTZ -> TIMESTAMP first
+    (watermarks require LTZ; the session TZ is pinned UTC in el.conf,
+    so values are unchanged) — applied to batch too, so the batch twin
+    evaluates the identical expression."""
+    df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, delay) if df.isStreaming else df
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST2: tumbling (or sliding) event-time counts + exact value sum.
+    Same expression for batch and stream; epoch-aligned windows."""
+    src = with_watermark(df, ts_col, watermark)
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        src.groupBy(win.alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST3: gap-merged session windows per key: a new session starts
+    when the inter-event gap is >= ``gap`` (session end is exclusive
+    ``last_ts + gap``)."""
+    src = with_watermark(df, ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    pages: DataFrame, key: str = "url", watermark: str = "1 hour",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """ST4: stateful dedup by url within the watermark horizon (state
+    is bounded: entries older than the watermark are evicted)."""
+    pages = pages.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if pages.isStreaming:
+        return pages.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [key]
+        )
+    return pages.dropDuplicates([key])
+
+
+def sink_to_catalog(
+    stream: DataFrame,
+    catalog: HadoopParquetCatalog,
+    table: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """ST5: commit each micro-batch atomically via the catalog (one
+    manifest per batch; replays of the same epoch overwrite the same
+    table name, so re-delivery is idempotent)."""
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        catalog.write(
+            batch_df,
+            f"{table}__batch_{epoch_id:06d}",
+            run_id=f"epoch{epoch_id}",
+            stage=table,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_catalog_stream(
+    spark, catalog: HadoopParquetCatalog, table_prefix: str
+) -> DataFrame:
+    """Union of every committed micro-batch table for a sink prefix."""
+    import os
+
+    dirs = sorted(
+        os.path.join(catalog.root, d)
+        for d in os.listdir(catalog.root)
+        if d.startswith(f"{table_prefix}__batch_")
+    )
+    return spark.read.parquet(*dirs)

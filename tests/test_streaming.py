@@ -1,0 +1,105 @@
+"""Structured Streaming: the stream plan over a file source must agree
+with the batch twin on the same rows; stateful dedup and the
+foreachBatch catalog sink are exercised for real (availableNow)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from el.catalog import HadoopParquetCatalog
+from el.streaming import (
+    dedup_stream,
+    read_catalog_stream,
+    session_counts,
+    sink_to_catalog,
+    windowed_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_src"))
+    spark.read.parquet(f"{SF}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def _run_stream_to_memory(spark, sdf, name, tmp):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_window_counts_equal_batch(spark, events_dir, tmp_path):
+    batch = spark.read.parquet(events_dir)
+    schema = batch.schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    got = _run_stream_to_memory(
+        spark, windowed_counts(stream, window="1 hour"), "win_counts",
+        str(tmp_path),
+    )
+    want = windowed_counts(batch, window="1 hour")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_session_counts_equal_batch(spark, events_dir, tmp_path):
+    batch = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    got = _run_stream_to_memory(
+        spark, session_counts(stream), "sess_counts", str(tmp_path)
+    )
+    want = session_counts(batch)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_dedup_by_url(spark, tmp_path):
+    from el.fixtures import gen_web_pages
+
+    d = str(tmp_path / "pages_src")
+    pages = gen_web_pages(spark, 300)  # ~2% re-crawled urls
+    pages.write.mode("overwrite").parquet(d)
+    n_urls = pages.select("url").distinct().count()
+    assert pages.count() > n_urls, "fixture should contain re-crawls"
+
+    stream = spark.readStream.schema(pages.schema).parquet(d)
+    deduped = dedup_stream(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_pages")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_pages")
+    assert got.count() == n_urls
+    assert got.groupBy("url").count().where("count > 1").count() == 0
+
+
+def test_sink_to_catalog_commits_batches(spark, events_dir, tmp_path):
+    cat = HadoopParquetCatalog(str(tmp_path / "cat"))
+    batch = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_dir)
+    )
+    q = sink_to_catalog(stream, cat, "events_ingest", str(tmp_path / "ckpt_sink"))
+    q.awaitTermination(120)
+    back = read_catalog_stream(spark, cat, "events_ingest")
+    assert back.count() == batch.count()
+    # every micro-batch has a manifest with per-file lineage
+    m = cat.metrics(spark)
+    assert m.where(F.col("stage") == "events_ingest").count() >= 1
