@@ -87,24 +87,27 @@ class HadoopParquetCatalog:
         wall_ms = int((time.time() - t0) * 1000)
 
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
-        files = []
-        total_rows = 0
+        paths = []
         for dirpath, _, names in os.walk(tmp):
             for name in sorted(names):
-                if not name.endswith(".parquet"):
-                    continue
-                fp = os.path.join(dirpath, name)
-                rows = pq.ParquetFile(fp).metadata.num_rows
-                total_rows += rows
-                files.append(
-                    {
-                        "path": os.path.relpath(fp, tmp),
-                        "rows": rows,
-                        "bytes": os.path.getsize(fp),
-                        "sha256": _sha256_file(fp),
-                    }
-                )
+                if name.endswith(".parquet"):
+                    paths.append(os.path.join(dirpath, name))
+
+        def lineage_row(fp: str) -> dict:
+            # hashlib releases the GIL on large updates -> thread pool
+            # keeps the driver-side commit from being a serial section
+            return {
+                "path": os.path.relpath(fp, tmp),
+                "rows": pq.ParquetFile(fp).metadata.num_rows,
+                "bytes": os.path.getsize(fp),
+                "sha256": _sha256_file(fp),
+            }
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            files = list(pool.map(lineage_row, paths))
+        total_rows = sum(f["rows"] for f in files)
         manifest = {
             "table": table,
             "stage": stage or table,

@@ -936,3 +936,102 @@ def st3_session_window_counts(spark, sf_dir):
     from el.streaming import session_counts
 
     return session_counts(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# remaining §2 inventory rows: A4, J8, F5, F7
+# ---------------------------------------------------------------------------
+
+
+@check(
+    "a4_grouped_vector_centroid",
+    oracle="""
+    SELECT e.label AS label, t.i - 1 AS dim,
+           round(CAST(avg(e.embedding[t.i]) AS DOUBLE), 4) AS c,
+           count(*) AS n_members
+    FROM embeddings e CROSS JOIN range(1, 65) t(i)
+    GROUP BY e.label, t.i
+    """,
+)
+def a4_grouped_vector_centroid(spark, sf_dir):
+    from el.similarity import grouped_centroid
+
+    cent = grouped_centroid(_t(spark, sf_dir, "embeddings"))
+    return cent.select(
+        "label",
+        F.posexplode("centroid").alias("dim", "c_raw"),
+        "n_members",
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("c_raw", 4).alias("c"),
+        "n_members",
+    )
+
+
+@check(
+    "j8_asof_latest_event",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id AS event_id, e.user_id AS user_id,
+           l.event_id AS latest_event_id
+    FROM events e JOIN latest l ON e.user_id = l.user_id
+    """,
+)
+def j8_asof_latest_event(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", F.col("event_id").alias("latest_event_id"))
+    )
+    return e.select("event_id", "user_id").join(latest, on="user_id").select(
+        "event_id", "user_id", "latest_event_id"
+    )
+
+
+@check(
+    "f5_jaro_winkler_parts",
+    oracle="""
+    SELECT p_partkey,
+           round(jaro_winkler_similarity(lower(p_brand), lower(p_type)), 4)
+           AS jw
+    FROM part
+    """,
+)
+def f5_jaro_winkler_parts(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from el.simfn import jaro_winkler
+
+    @pandas_udf("double")
+    def jw_udf(a, b):  # no annotations: pandas imported function-local
+        return pd.Series(jaro_winkler(a.fillna("").tolist(), b.fillna("").tolist()))
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(jw_udf(F.lower("p_brand"), F.lower("p_type")), 4).alias("jw"),
+    )
+
+
+@check("f7_hash_distinct", oracle=None)  # xxhash64 is engine-specific
+def f7_hash_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count_distinct(F.xxhash64("o_orderkey")).alias("n_hashes"),
+        F.count_distinct(F.sha2(F.col("o_orderkey").cast("string"), 256)).alias(
+            "n_shas"
+        ),
+    )

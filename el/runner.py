@@ -44,10 +44,15 @@ class RunConfig:
     run_id: str = "run0"
     n_score_chunks: int = 8
     pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    # explicit model-artifact dir: share one fitted TF-IDF/LDA artifact
+    # set across runs AND across cluster sizes (SURVEY.md §4.4 — the
+    # scaling-evidence protocol fits once, then both parallelism
+    # levels load the same artifacts)
+    model_dir: str | None = None
 
 
-def _models_dir(catalog: HadoopParquetCatalog, run_id: str) -> str:
-    return os.path.join(catalog.root, "_models", run_id)
+def _models_dir(catalog: HadoopParquetCatalog, rc: "RunConfig") -> str:
+    return rc.model_dir or os.path.join(catalog.root, "_models", rc.run_id)
 
 
 def _fit_or_load_models(
@@ -56,7 +61,7 @@ def _fit_or_load_models(
     catalog: HadoopParquetCatalog,
     rc: RunConfig,
 ):
-    mdir = _models_dir(catalog, rc.run_id)
+    mdir = _models_dir(catalog, rc)
     tfidf_path = os.path.join(mdir, "tfidf")
     topic_path = os.path.join(mdir, "topics")
     if os.path.exists(os.path.join(tfidf_path, "meta.json")):

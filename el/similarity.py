@@ -152,3 +152,33 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "rank")
     )
+
+
+def grouped_centroid(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """A4 (SURVEY.md §2.4): per-group centroid of vector columns via a
+    grouped-agg pandas UDF (one Arrow batch per group, numpy mean —
+    the idiomatic vectorized UDAF; map-side partial agg does not apply
+    to UDAFs, so groups shuffle raw vectors: acceptable because group
+    count << row count and each group's batch is bounded by the
+    group's size)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def centroid(vs: pd.Series) -> list:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        return mat.mean(axis=0).tolist()
+
+    # Spark disallows mixing a group-agg pandas UDF with non-pandas
+    # aggregates in one agg() — n_members is a second pandas UDAF
+    @pandas_udf("long")
+    def n_rows(vs: pd.Series) -> int:
+        return len(vs)
+
+    return df.groupBy(group_col).agg(
+        centroid(F.col(vec_col)).alias("centroid"),
+        n_rows(F.col(vec_col)).alias("n_members"),
+    )

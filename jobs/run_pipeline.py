@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--no-lsh", action="store_true")
     ap.add_argument("--no-topics", action="store_true")
     ap.add_argument("--score-chunks", type=int, default=8)
+    ap.add_argument("--model-dir", default=None,
+                    help="shared TF-IDF/LDA artifact dir (fit-once)")
     ap.add_argument("--evaluate", action="store_true",
                     help="compute pairwise P/R/F1 against fixture labels")
     ap.add_argument("--master", default=None,
@@ -58,7 +60,10 @@ def main() -> None:
         use_lsh=not args.no_lsh, use_topics=not args.no_topics
     )
     rc = RunConfig(
-        run_id=args.run_id, n_score_chunks=args.score_chunks, pipeline=cfg
+        run_id=args.run_id,
+        n_score_chunks=args.score_chunks,
+        pipeline=cfg,
+        model_dir=args.model_dir,
     )
     catalog = HadoopParquetCatalog(args.out)
 
