@@ -43,10 +43,20 @@ HEADLINE_OPTIONAL = [
     "dd1_exact_dedup_docs",
     "dd2_minhash_lsh_dedup",
     "dd3_simhash_dedup",
+    # dd4_ngram_jaccard is the exact quadratic-within-block verifier
+    # (oracle-checked at sf0.01); the scale path for near-dup candidates
+    # is dd2 (MinHash+LSH) — benching the quadratic op at sf0.1 would
+    # measure the verify-everything anti-pattern, not the engine
     "dd5_embedding_neardup",
     "ann1_cosine_topk",
+    "ann2_lsh_topk",
     "tx1_language_id",
     "tx2_quality_score",
+    "tx5_winnow_fingerprints",
+    "a4_grouped_vector_centroid",
+    "f5_jaro_winkler_parts",
+    "st2_tumbling_window_counts",
+    "st3_session_window_counts",
 ]
 
 PAGES_PER_SF = 60_000  # synthetic corpus size per unit sf

@@ -1,0 +1,103 @@
+"""Physical-plan audits: the properties that make these operators
+scale are asserted on the actual Catalyst plans, not assumed —
+predicate pushdown reaches the parquet scan, column pruning shrinks
+ReadSchema, small sides broadcast, window caps use WindowGroupLimit,
+and the scoring hot path is the only Arrow boundary."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from el.queries import REGISTRY
+
+    df = REGISTRY["p2_filter_orders"].fn(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "o_totalprice" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_column_pruning_shrinks_read_schema(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    plan = _plan(df)
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in schema
+    assert "l_extendedprice" not in schema  # untouched columns pruned
+
+
+def test_broadcast_join_selected_for_small_dim(spark):
+    from el.queries import REGISTRY
+
+    plan = _plan(REGISTRY["j3_broadcast_nation_counts"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_cap_uses_group_limit(spark):
+    from el.queries import REGISTRY
+
+    plan = _plan(REGISTRY["w1_per_block_cap"].fn(spark, SF))
+    # rank-limit pushdown: per-group top-k never materializes full rank
+    assert "WindowGroupLimit" in plan
+
+
+def test_scoring_plan_shape(spark):
+    """Scoring: feature attach is broadcast (pair rows never shuffle
+    for the join) and only the hot branch crosses the Arrow boundary."""
+    from el.fixtures import gen_web_pages
+    from el.pipeline import PipelineConfig, mentions_stage
+    from el.scoring import ScoringConfig, score_pairs
+    from el.tfidf import TfidfModel
+    from el import blocking
+
+    pages = gen_web_pages(spark, 200)
+    cfg = PipelineConfig(use_lsh=False, use_topics=False)
+    m = mentions_stage(pages, cfg).localCheckpoint()
+    # materialized like production (the runner reads mentions_vec from
+    # a committed table, so its transform UDF is not in the scoring plan)
+    mv = (
+        TfidfModel.fit(m, "context")
+        .transform(m, "context", "tfidf")
+        .localCheckpoint()
+    )
+    keys, _ = blocking.cap_blocks(blocking.name_token_keys(m))
+    pairs = blocking.candidate_pairs(keys)
+    plan = _plan(score_pairs(pairs, mv, ScoringConfig()))
+    assert plan.count("BroadcastHashJoin") >= 4  # names x2 + vectors x2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("ArrowEvalPython") == 1  # hot branch only
+
+
+def test_whole_stage_codegen_covers_relational_ops(spark):
+    from el.queries import REGISTRY
+
+    df = REGISTRY["a1_pricing_summary"].fn(spark, SF)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # "*(n)" operator prefix == inside a WholeStageCodegen span
+    assert "*(" in plan
+    assert "*(2) HashAggregate" in plan or "*(1) HashAggregate" in plan
+
+
+def test_no_cartesian_in_blocked_dedup(spark):
+    """ngram_jaccard_pairs must stay an equi-join on the block col."""
+    from el.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(d, n=2, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
