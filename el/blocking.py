@@ -74,6 +74,53 @@ def cap_blocks(
     return capped, stats
 
 
+def salt_blocks(
+    block_keys: DataFrame, cap_k: int = DEFAULT_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """Salted alternative to cap_blocks (north_star "salted multi-key
+    blocking"): a hot block of M > cap_k members is DETERMINISTICALLY
+    split into ceil(M/cap_k) salted sub-blocks of ~cap_k members
+    (salt = xxhash64(block_key, mention_id) % n_salts), and downstream
+    pair generation joins on (strategy, block_key, salt).
+
+    Tradeoffs vs the hard cap: no member is dropped (every mention
+    keeps pairing inside its sub-block — recall degrades gracefully to
+    within-sub-block pairs instead of discarding members entirely),
+    pair count stays bounded at ~M/cap_k * C(cap_k,2), and each
+    reducer task sees at most one sub-block (the skew a mega-block
+    would otherwise concentrate on a single reducer is spread across
+    its salts). The salt is a pure function of (block_key, mention_id)
+    — identical across runs, partitionings, and cluster sizes."""
+    sizes = block_keys.groupBy("strategy", "block_key").agg(
+        F.count("*").alias("n_members")
+    )
+    # only HOT blocks (> cap_k members) need a salt map — that subset
+    # is small by definition, so it broadcasts; everyone else defaults
+    # to salt 0 via the left join
+    hot = sizes.where(F.col("n_members") > cap_k).select(
+        "strategy",
+        "block_key",
+        F.ceil(F.col("n_members") / F.lit(cap_k)).cast("int").alias("_ns"),
+    )
+    salted = (
+        block_keys.drop("salt")
+        .join(F.broadcast(hot), on=["strategy", "block_key"], how="left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_ns").isNotNull(),
+                F.pmod(F.xxhash64("block_key", "mention_id"), F.col("_ns")),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("_ns")
+        .select("mention_id", "url", "strategy", "block_key", "salt")
+    )
+    stats = sizes.withColumn("n_dropped", F.lit(0))
+    return salted, stats
+
+
 def candidate_pairs(capped: DataFrame) -> DataFrame:
     """J1/U1: per-block self-join -> unordered pairs (a_id < b_id),
     deduplicated across strategies deterministically (min strategy/key
@@ -85,18 +132,23 @@ def candidate_pairs(capped: DataFrame) -> DataFrame:
     left = capped.select(
         "strategy",
         "block_key",
+        "salt",
         F.col("mention_id").alias("a_id"),
         F.col("url").alias("a_url"),
     )
     right = capped.select(
         "strategy",
         "block_key",
+        "salt",
         F.col("mention_id").alias("b_id"),
         F.col("url").alias("b_url"),
     )
-    pairs = left.join(right, on=["strategy", "block_key"], how="inner").where(
-        F.col("a_id") < F.col("b_id")
-    )
+    # salt participates in the join key: salted hot blocks (salt_blocks)
+    # pair only within their sub-block, bounding any reducer's work;
+    # cap_blocks output carries salt=0 everywhere (no-op there)
+    pairs = left.join(
+        right, on=["strategy", "block_key", "salt"], how="inner"
+    ).where(F.col("a_id") < F.col("b_id"))
     return pairs.groupBy("a_id", "b_id").agg(
         F.min("a_url").alias("a_url"),
         F.min("b_url").alias("b_url"),

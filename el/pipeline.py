@@ -22,6 +22,10 @@ from el.tfidf import TfidfModel
 @dataclass
 class PipelineConfig:
     cap_k: int = 64
+    # hot-block policy: "cap" drops members beyond cap_k (observable in
+    # stats); "salt" splits hot blocks into salted sub-blocks (no
+    # drops, within-sub-block pairs only) — el.blocking.salt_blocks
+    block_skew: str = "cap"
     langs: tuple[str, ...] = ("en",)
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
     use_lsh: bool = True
@@ -73,6 +77,8 @@ def block_stage(
         )
     if topic_buckets is not None:
         keys = keys.unionByName(topic_buckets)
+    if cfg.block_skew == "salt":
+        return blocking.salt_blocks(keys, cfg.cap_k)
     return blocking.cap_blocks(keys, cfg.cap_k)
 
 

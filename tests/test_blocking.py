@@ -58,3 +58,42 @@ def test_salted_join_equals_unsalted(spark):
         map(tuple, salted.collect())
     )
     assert plain.count() == 2000
+
+
+def test_salt_blocks_bounds_without_drops(spark):
+    keys = _keys(spark)
+    salted, stats = blocking.salt_blocks(keys, cap_k=10)
+    # nothing dropped: every (mention, block) row survives
+    assert salted.count() == keys.count()
+    assert stats.agg(F.sum("n_dropped")).collect()[0][0] == 0
+    # every salted sub-block is bounded ~cap (hash split is uneven but
+    # the expected size is cap_k; assert a loose 3x bound)
+    mx = (
+        salted.groupBy("strategy", "block_key", "salt")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert mx <= 30
+    # deterministic under repartitioning
+    s2, _ = blocking.salt_blocks(keys.repartition(13), cap_k=10)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_salted_pairs_subset_of_unsalted(spark):
+    keys = _keys(spark)
+    salted, _ = blocking.salt_blocks(keys, cap_k=10)
+    sub = blocking.candidate_pairs(salted)
+    full = blocking.candidate_pairs(keys)  # salt=0 everywhere
+    sub_set = {(r.a_id, r.b_id) for r in sub.collect()}
+    full_set = {(r.a_id, r.b_id) for r in full.collect()}
+    assert sub_set <= full_set
+    # cold blocks (<= cap) keep ALL their pairs: check via block sizes
+    cold_keys = keys.join(
+        keys.groupBy("strategy", "block_key").count().where("count <= 10"),
+        on=["strategy", "block_key"],
+    ).select("mention_id", "url", "strategy", "block_key", "salt")
+    cold_pairs = {
+        (r.a_id, r.b_id) for r in blocking.candidate_pairs(cold_keys).collect()
+    }
+    assert cold_pairs <= sub_set
