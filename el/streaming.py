@@ -150,3 +150,36 @@ def read_catalog_stream(
         if d.startswith(f"{table_prefix}__batch_")
     )
     return spark.read.parquet(*dirs)
+
+
+def ingest_pages_stream(
+    spark,
+    src_dir: str,
+    catalog: HadoopParquetCatalog,
+    checkpoint_dir: str,
+    langs: tuple[str, ...] = ("en",),
+    watermark: str = "1 hour",
+):
+    """Streaming twin of the extraction stage: readStream(web_pages)
+    -> stateful url dedup within the watermark -> lang gate ->
+    EXTRACT_SPEC v1 -> mention rows -> per-micro-batch catalog commit.
+
+    The transformation chain is the SAME code the batch pipeline runs
+    (el.extract), applied to a streaming DataFrame — Structured
+    Streaming's incrementalization handles the rest. Late re-crawls
+    beyond the watermark are dropped from dedup state (bounded state);
+    the catalog sink gives each micro-batch an atomic manifest commit,
+    so a crashed stream restarts from the Spark checkpoint and
+    re-commits idempotently.
+    """
+    from el.extract import add_extracted_text, extract_mentions
+    from el.schemas import WEB_PAGES
+
+    pages = spark.readStream.schema(WEB_PAGES).parquet(src_dir)
+    deduped = dedup_stream(pages, key="url", watermark=watermark,
+                           ts_col="warc_ts")
+    gated = deduped.where(F.col("lang").isin(*langs))
+    mentions = extract_mentions(add_extracted_text(gated))
+    return sink_to_catalog(
+        mentions, catalog, "mentions_stream", checkpoint_dir
+    )

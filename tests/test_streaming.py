@@ -103,3 +103,25 @@ def test_sink_to_catalog_commits_batches(spark, events_dir, tmp_path):
     # every micro-batch has a manifest with per-file lineage
     m = cat.metrics(spark)
     assert m.where(F.col("stage") == "events_ingest").count() >= 1
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    """The streaming ingest commits exactly the mentions the batch
+    stage computes on the same pages (same kernels, same dedup)."""
+    from el.fixtures import gen_web_pages
+    from el.pipeline import PipelineConfig, mentions_stage
+    from el.streaming import ingest_pages_stream
+
+    pages = gen_web_pages(spark, 300).localCheckpoint()
+    src = str(tmp_path / "pages_in")
+    pages.write.mode("overwrite").parquet(src)
+
+    cat = HadoopParquetCatalog(str(tmp_path / "cat"))
+    q = ingest_pages_stream(spark, src, cat, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    got = read_catalog_stream(spark, cat, "mentions_stream")
+
+    want = mentions_stage(pages, PipelineConfig())
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
