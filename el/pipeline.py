@@ -30,6 +30,8 @@ class PipelineConfig:
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
     use_lsh: bool = True
     use_topics: bool = True
+    topic_max_iter: int = 15
+    topic_vocab: int = 2048
     lsh_shingle_k: int = 3
     lsh_rows: int = 4
     lsh_bands: int = 16
@@ -111,7 +113,13 @@ def run_pipeline(
         try:
             from el.topics import TopicModel
 
-            tm = TopicModel.fit(spark, mentions, "context")
+            tm = TopicModel.fit(
+                spark,
+                mentions,
+                "context",
+                max_iter=cfg.topic_max_iter,
+                vocab_size=cfg.topic_vocab,
+            )
             mentions_v = tm.transform(mentions_v, "context", "topic_vec")
             topic_buckets = tm.bucket_keys(mentions_v)
         except ImportError:

@@ -76,7 +76,13 @@ def _fit_or_load_models(
         if os.path.exists(os.path.join(topic_path, "lda")):
             topics = TopicModel.load(spark, topic_path)
         else:
-            topics = TopicModel.fit(spark, mentions, "context")
+            topics = TopicModel.fit(
+                spark,
+                mentions,
+                "context",
+                max_iter=rc.pipeline.topic_max_iter,
+                vocab_size=rc.pipeline.topic_vocab,
+            )
             topics.save(topic_path)
     return tfidf, topics
 
