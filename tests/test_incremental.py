@@ -1,0 +1,82 @@
+"""Incremental ER: absorbing a new crawl batch scores only the delta,
+and (cap not binding) yields exactly the clusters a full run over the
+combined corpus produces."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from el.catalog import HadoopParquetCatalog
+from el.fixtures import gen_web_pages
+from el.incremental import incremental_update
+from el.pipeline import PipelineConfig
+from el.runner import RunConfig, run_checkpointed
+
+N_ALL = 500
+N_FIRST = 350
+
+
+@pytest.fixture(scope="module")
+def rc():
+    # generous cap so capping never binds (the equivalence precondition)
+    return RunConfig(
+        run_id="inc",
+        n_score_chunks=2,
+        pipeline=PipelineConfig(use_lsh=True, use_topics=False, cap_k=10_000),
+    )
+
+
+def test_incremental_equals_full(spark, tmp_path_factory, rc):
+    all_pages = gen_web_pages(spark, N_ALL).localCheckpoint()
+    split = F.pmod(F.xxhash64("url"), F.lit(10)) < 7
+    batch1 = all_pages.where(split)
+    batch2 = all_pages.where(~split)
+    assert batch2.count() > 0
+
+    # full run over the combined corpus (reference result); models are
+    # fitted on batch1 ONLY in both paths (shared model_dir)
+    mdir = str(tmp_path_factory.mktemp("models"))
+    rc_full = RunConfig(
+        run_id="full", n_score_chunks=2, pipeline=rc.pipeline, model_dir=mdir
+    )
+    inc_cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("inc")))
+    rc_inc = RunConfig(
+        run_id="inc", n_score_chunks=2, pipeline=rc.pipeline, model_dir=mdir
+    )
+    # fit models on batch1 via the incremental base run FIRST
+    base = run_checkpointed(spark, batch1, inc_cat, rc_inc, resume=False)
+
+    full_cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("full")))
+    full = run_checkpointed(
+        spark, batch1.unionByName(batch2), full_cat, rc_full, resume=False
+    )
+
+    # absorb batch2 incrementally
+    out = incremental_update(spark, batch2, inc_cat, rc_inc)
+    rep = out["report"]
+    assert rep["new_mentions"] > 0
+    # the delta is strictly smaller than the full pair set
+    assert rep["delta_pairs_scored"] < rep["total_pairs"]
+
+    # cluster PARTITIONS must be identical (cluster ids are min member
+    # id, so they are directly comparable)
+    inc_rows = sorted(
+        map(tuple, out["clusters"].select("mention_id", "cluster_id").collect())
+    )
+    full_rows = sorted(
+        map(tuple,
+            full["clusters"].select("mention_id", "cluster_id").collect())
+    )
+    assert inc_rows == full_rows
+
+
+def test_incremental_rerun_scores_nothing_new(spark, tmp_path_factory, rc):
+    pages = gen_web_pages(spark, 300).localCheckpoint()
+    cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("re")))
+    run_checkpointed(spark, pages, cat, rc, resume=False)
+    # feeding the SAME batch again: no new urls -> no new mentions,
+    # no delta pairs
+    out = incremental_update(spark, pages, cat, rc)
+    assert out["report"]["new_mentions"] == 0
+    assert out["report"]["delta_pairs_scored"] == 0
