@@ -104,12 +104,15 @@ def run_pipeline(
     # In production runs the real barrier is the catalog commit
     # (parquet write) between stages, not executor-local blocks.
     mentions = mentions_stage(pages, cfg).localCheckpoint(eager=True)
+    # degenerate corpus (nothing survived the lang/null gates): the
+    # relational stages all handle empty inputs, but ml fits do not
+    has_mentions = not mentions.isEmpty()
 
     model = tfidf_model or TfidfModel.fit(mentions, "context")
     mentions_v = model.transform(mentions, "context", "tfidf")
 
     topic_buckets = None
-    if cfg.use_topics:
+    if cfg.use_topics and has_mentions:
         try:
             from el.topics import TopicModel
 

@@ -70,7 +70,7 @@ def _fit_or_load_models(
         tfidf = TfidfModel.fit(mentions, "context")
         tfidf.save(tfidf_path)
     topics = None
-    if rc.pipeline.use_topics:
+    if rc.pipeline.use_topics and not mentions.isEmpty():
         from el.topics import TopicModel
 
         if os.path.exists(os.path.join(topic_path, "lda")):

@@ -54,3 +54,15 @@ def test_scored_pairs_symmetric_ids(spark, e2e):
     out, _ = e2e
     bad = out["scored_pairs"].where("a_id >= b_id").count()
     assert bad == 0
+
+
+def test_pipeline_survives_empty_corpus(spark):
+    """Degenerate input (nothing passes the lang gate) must produce
+    empty-but-well-formed stage tables, not an ml-fit crash."""
+    from pyspark.sql import functions as F
+
+    pages = gen_web_pages(spark, 50).where(F.col("lang") == "nonexistent")
+    out = run_pipeline(spark, pages, PipelineConfig())
+    assert out["clusters"].count() == 0
+    assert out["scored_pairs"].count() == 0
+    assert "cluster_id" in out["clusters"].columns
