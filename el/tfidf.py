@@ -7,9 +7,11 @@ tiny (one float per occupied hash bucket, <= 2^18) and is shipped to
 executors as a closure-captured numpy array — scalable to any input
 size because its size is bounded by the hash dimension, not the corpus.
 
-Document frequencies are computed with a plain DataFrame aggregation
-(explode distinct tokens -> groupBy count) — map-side partial
-aggregation and AQE sizing are free from Catalyst.
+Document frequencies are aggregated BY HASH BUCKET cluster-side
+(explode distinct tokens -> vectorized bucket UDF -> groupBy bucket):
+the driver collects at most 2^18 (bucket, df) rows no matter how
+large the corpus vocabulary is — a 10^9-distinct-token crawl fits the
+same driver budget as the test fixture.
 """
 
 from __future__ import annotations
@@ -24,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from el.hashing import fnv1a_tokens
+
 DIM = 1 << 18
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -36,14 +40,9 @@ VEC_SCHEMA = T.StructType(
 
 
 def _bucket(tokens: list[str]) -> np.ndarray:
-    # FNV-1a 32-bit, stable across processes (no PYTHONHASHSEED issues)
-    out = np.empty(len(tokens), dtype=np.int64)
-    for i, t in enumerate(tokens):
-        h = 2166136261
-        for ch in t.encode("utf-8"):
-            h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
-        out[i] = h % DIM
-    return out
+    # FNV-1a 32-bit, stable across processes (no PYTHONHASHSEED
+    # issues); vectorized batch kernel (el.hashing.fnv1a_tokens)
+    return (fnv1a_tokens(tokens, bits=32) % np.uint64(DIM)).astype(np.int64)
 
 
 class TfidfModel:
@@ -53,9 +52,24 @@ class TfidfModel:
         self.n_docs = n_docs
 
     # -- fitting ------------------------------------------------------
-    @classmethod
-    def fit(cls, texts: DataFrame, col: str = "context") -> "TfidfModel":
-        """df-count per hashed token bucket over distinct tokens/doc."""
+    @staticmethod
+    def _bucket_df_counts(texts: DataFrame, col: str) -> DataFrame:
+        """Document frequency per HASH BUCKET, aggregated cluster-side.
+
+        The driver never sees the vocabulary: tokens are mapped to
+        their 2^18 bucket inside an Arrow-batched pandas UDF (the
+        same ``_bucket`` kernel the transform path uses, so fit and
+        transform agree bit-for-bit), then counted with a plain
+        groupBy — map-side partial aggregation bounds the shuffle AND
+        the result at <= DIM rows regardless of corpus size. Each doc
+        contributes each distinct token once (array_distinct), so
+        sum-over-bucket == sum of per-token document frequencies.
+        """
+
+        @F.pandas_udf(T.IntegerType())
+        def bucket_udf(toks: pd.Series) -> pd.Series:
+            return pd.Series(_bucket(toks.tolist()).astype(np.int32))
+
         toks = texts.select(
             F.explode(
                 F.array_distinct(
@@ -66,15 +80,38 @@ class TfidfModel:
                 )
             ).alias("tok")
         )
-        df_counts = toks.groupBy("tok").agg(F.count("*").alias("df")).collect()
+        return toks.select(bucket_udf(F.col("tok")).alias("bucket")).groupBy(
+            "bucket"
+        ).agg(F.count("*").alias("df"))
+
+    @classmethod
+    def fit(
+        cls,
+        texts: DataFrame,
+        col: str = "context",
+        max_fit_docs: int | None = None,
+    ) -> "TfidfModel":
+        """df-count per hashed token bucket over distinct tokens/doc.
+
+        Scale posture: the only driver-side materialization is the
+        bucket table (<= 2^18 rows — bounded by the hash dimension,
+        not the vocabulary). ``max_fit_docs`` additionally caps the
+        fit input with a deterministic hash-sample (pure function of
+        the text, so the sample — and the model — is identical at any
+        parallelism); IDF is a corpus *statistic*, stable under
+        uniform sampling."""
+        if max_fit_docs is not None and max_fit_docs > 0:
+            n_total = texts.count()
+            if n_total > max_fit_docs:
+                m = -(-n_total // max_fit_docs)  # ceil
+                texts = texts.where(
+                    F.pmod(F.xxhash64(F.col(col)), F.lit(m)) == 0
+                )
+        rows = cls._bucket_df_counts(texts, col).collect()
         n_docs = texts.count()
         idf = np.zeros(DIM, dtype=np.float64)
-        if df_counts:
-            tok_list = [r["tok"] for r in df_counts]
-            buckets = _bucket(tok_list)
-            dfs = np.array([r["df"] for r in df_counts], dtype=np.float64)
-            # hash collisions: sum dfs into the bucket (standard hashing-TF)
-            np.add.at(idf, buckets, dfs)
+        for r in rows:
+            idf[r["bucket"]] = float(r["df"])
         nz = idf > 0
         idf[nz] = np.log((n_docs + 1.0) / (idf[nz] + 1.0)) + 1.0
         return cls(idf.astype(np.float32), n_docs)

@@ -42,6 +42,34 @@ def test_simhash_spark_matches_python(spark, docs):
         assert sh[r.doc_id] == simhash_py(tok_re.findall(r.text.lower()))
 
 
+def test_token_hashes_match_r1_scalar_loop():
+    """The vectorized token-hash kernel must stay bit-identical to the
+    original per-char scalar loop (simhash values are persisted in
+    committed tables — drift would break cross-version dedup)."""
+    import numpy as np
+
+    from el.dedup import simhash_batch, token_hashes
+    from el.hashing import splitmix64
+
+    def scalar(t: str) -> int:
+        x = 0xCBF29CE484222325
+        for ch in t.encode("utf-8", errors="replace"):
+            x = ((x ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return int(splitmix64(np.array([x], dtype=np.uint64))[0])
+
+    toks = ["fox", "a", "token42", "ü-mixed", "x" * 40]
+    assert [int(h) for h in token_hashes(toks)] == [scalar(t) for t in toks]
+
+    texts = ["quick brown fox", "", None, "dog dog dog cat", "a b c 9"]
+    import re
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    got = simhash_batch(texts)
+    for t, g in zip(texts, got):
+        exp = simhash_py(tok_re.findall(t.lower()) if isinstance(t, str) else [])
+        assert int(g) == exp
+
+
 def test_simhash_near_text_low_hamming(spark):
     base = "the quick brown fox jumps over the lazy dog near the river bank today"
     rows = [(1, base), (2, base.replace("dog", "cat")), (3, "totally different words entirely unrelated corpus")]
@@ -76,7 +104,86 @@ def test_ngram_jaccard_bounds_and_block(spark, docs):
 
 def test_embedding_neardup_ids_ordered(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    pairs = embedding_neardup_pairs(emb, threshold=0.3).persist()
-    assert pairs.count() > 0
-    assert pairs.where("a_id >= b_id").count() == 0
-    pairs.unpersist()
+    for method in ("exact", "lsh"):
+        pairs = embedding_neardup_pairs(
+            emb, threshold=0.3, method=method
+        ).persist()
+        assert pairs.count() > 0
+        assert pairs.where("a_id >= b_id").count() == 0
+        pairs.unpersist()
+
+
+def test_embedding_lsh_equals_exact_unblocked(spark):
+    """The scale path (LSH candidates -> exact cosine verify) must
+    reproduce the exact all-pairs result on the fixture — recall 1.0
+    measured, precision exact by construction (VERDICT r1 item 3)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.4, method="exact", block_col=None
+        ).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.4, method="lsh", n_planes=4, n_tables=48
+        ).collect()
+    }
+    assert exact, "fixture should contain cosine>=0.4 pairs"
+    assert lsh == exact, f"missed={exact - lsh} extra={lsh - exact}"
+
+
+def test_embedding_lsh_finds_planted_neardups_high_threshold(spark):
+    """High-threshold regime (the real near-dup use case, default
+    planes=8/tables=16): plant near-identical vectors by deterministic
+    perturbation and require the LSH path to find every planted pair
+    and nothing else."""
+    import numpy as np
+
+    from el.hashing import u01
+
+    base = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200).collect()
+    rows = []
+    for r in base:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        rows.append((int(r.vec_id), [float(x) for x in v]))
+        noise = (u01(np.arange(64) + 64 * r.vec_id, salt=5) - 0.5) * 0.02
+        w = v + noise * np.linalg.norm(v) / 8.0
+        rows.append((int(r.vec_id) + 1_000_000, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs(
+            df, threshold=0.95, method="exact", block_col=None
+        ).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs(df, threshold=0.95, method="lsh").collect()
+    }
+    planted = {(int(r.vec_id), int(r.vec_id) + 1_000_000) for r in base}
+    assert planted <= exact
+    assert lsh == exact, f"missed={exact - lsh} extra={lsh - exact}"
+
+
+def test_ngram_minhash_equals_exact_unblocked(spark, docs):
+    """dd4 scale path: MinHash candidates -> exact-Jaccard verify
+    reproduces the unblocked all-pairs result (VERDICT r1 item 4)."""
+    from pyspark.sql import functions as F2
+
+    one_block = docs.withColumn("_all", F2.lit(1))
+    exact = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            one_block, n=2, threshold=0.5, method="exact", block_col="_all"
+        ).collect()
+    }
+    mh = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            docs, n=2, threshold=0.5, method="minhash"
+        ).collect()
+    }
+    assert exact, "fixture should contain jaccard>=0.5 pairs"
+    assert mh == exact, f"missed={exact - mh} extra={mh - exact}"

@@ -80,3 +80,56 @@ def test_incremental_rerun_scores_nothing_new(spark, tmp_path_factory, rc):
     out = incremental_update(spark, pages, cat, rc)
     assert out["report"]["new_mentions"] == 0
     assert out["report"]["delta_pairs_scored"] == 0
+
+
+def test_incremental_requires_persisted_models(spark, tmp_path_factory, rc):
+    """A delta must never refit (§4.4): missing model artifacts are a
+    hard error, not a silent refit on the delta corpus."""
+    pages = gen_web_pages(spark, 120).localCheckpoint()
+    cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("noart")))
+    run_checkpointed(spark, pages, cat, rc, resume=False)
+    fresh_rc = RunConfig(
+        run_id="other_run", n_score_chunks=2, pipeline=rc.pipeline
+    )  # default model dir is keyed by run_id -> artifacts absent
+    with pytest.raises(FileNotFoundError, match="persisted TF-IDF"):
+        incremental_update(spark, pages, cat, fresh_rc)
+
+
+def test_incremental_join_input_scales_with_delta(spark, tmp_path_factory, rc):
+    """The pair self-join's input (touched blocks only) must track the
+    DELTA size, not the corpus size — the r1 version re-joined the
+    full combined key table every batch."""
+    all_pages = gen_web_pages(spark, 300).localCheckpoint()
+    split = F.pmod(F.xxhash64("url"), F.lit(30)) < 1  # ~3% delta
+    big, small = all_pages.where(~split), all_pages.where(split)
+    assert 0 < small.count() < 25
+
+    cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("scale")))
+    run_checkpointed(spark, big, cat, rc, resume=False)
+    rep = incremental_update(spark, small, cat, rc)["report"]
+    assert rep["touched_key_rows"] < 0.5 * rep["combined_key_rows"], rep
+
+
+def test_incremental_recaps_hot_blocks(spark, tmp_path_factory):
+    """Absorbed batches must not grow a hot block past cap_k (ADVICE
+    r1: the union of capped old keys + capped delta keys was never
+    re-capped, so block size grew unboundedly across batches)."""
+    from pyspark.sql import functions as F2
+
+    cap_rc = RunConfig(
+        run_id="cap",
+        n_score_chunks=2,
+        pipeline=PipelineConfig(use_lsh=False, use_topics=False, cap_k=8),
+    )
+    all_pages = gen_web_pages(spark, 240).localCheckpoint()
+    split = F.pmod(F.xxhash64("url"), F.lit(2)) < 1
+    cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("cap")))
+    run_checkpointed(spark, all_pages.where(split), cat, cap_rc, resume=False)
+    incremental_update(spark, all_pages.where(~split), cat, cap_rc)
+    sizes = (
+        cat.read(spark, "block_keys")
+        .groupBy("strategy", "block_key")
+        .agg(F2.count("*").alias("n"))
+    )
+    worst = sizes.agg(F2.max("n")).collect()[0][0]
+    assert worst <= cap_rc.pipeline.cap_k, f"hot block grew to {worst}"

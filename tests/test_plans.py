@@ -94,10 +94,36 @@ def test_whole_stage_codegen_covers_relational_ops(spark):
 
 
 def test_no_cartesian_in_blocked_dedup(spark):
-    """ngram_jaccard_pairs must stay an equi-join on the block col."""
+    """Both ngram_jaccard_pairs paths must stay equi-joins — the
+    exact path on the block col, the minhash path on the band key."""
     from el.dedup import ngram_jaccard_pairs
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(ngram_jaccard_pairs(d, n=2, threshold=0.5))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    for method in ("exact", "minhash"):
+        plan = _plan(ngram_jaccard_pairs(d, n=2, threshold=0.5, method=method))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_scale_paths_never_join_on_block_col(spark):
+    """VERDICT r1 items 3-4: the default (scale) paths of dd4/dd5 must
+    not contain the quadratic join on the low-cardinality block col —
+    candidates come from band/bucket equi-joins only."""
+    from el.dedup import embedding_neardup_pairs, ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _optimized(ngram_jaccard_pairs(d, n=2, threshold=0.5))
+    assert "block_key" in plan  # minhash band join
+    assert "_blk" not in plan  # no lang-block join anywhere
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _optimized(embedding_neardup_pairs(e, threshold=0.4))
+    assert "bucket" in plan  # LSH bucket join
+    phys = _plan(embedding_neardup_pairs(e, threshold=0.4))
+    # column pruning: label never leaves the parquet scan (the
+    # optimized plan still *prints* it in the Relation schema, so
+    # check the physical scans' ReadSchema instead)
+    for chunk in phys.split("ReadSchema:")[1:]:
+        assert "label" not in chunk.splitlines()[0]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
