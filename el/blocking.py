@@ -52,6 +52,30 @@ def name_token_keys(mentions: DataFrame, prefix_len: int = 4) -> DataFrame:
     )
 
 
+def soundex_keys(mentions: DataFrame) -> DataFrame:
+    """Optional 4th strategy (F6 'soundex' as blocking): phonetic
+    buckets per normalized name token. Catches typo pairs whose
+    4-char prefix drifted but whose consonant skeleton did not
+    (smith/smyth -> S530/S530 while nt:smit != nt:smyt). JVM builtin
+    F.soundex — whole-stage codegen, no Python."""
+    return (
+        mentions.select(
+            "mention_id",
+            "url",
+            F.explode("name_tokens").alias("tok"),
+        )
+        .where(F.length("tok") >= 3)
+        .select(
+            "mention_id",
+            "url",
+            F.lit("soundex").alias("strategy"),
+            F.concat(F.lit("sx:"), F.soundex("tok")).alias("block_key"),
+            F.lit(0).alias("salt"),
+        )
+        .dropDuplicates(["mention_id", "strategy", "block_key"])
+    )
+
+
 def cap_blocks(
     block_keys: DataFrame, cap_k: int = DEFAULT_CAP
 ) -> tuple[DataFrame, DataFrame]:

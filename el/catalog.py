@@ -34,17 +34,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _sha256_file(path: str, chunk: int = 1 << 20) -> str:
-    import hashlib
+def _local_path(uri: str) -> str:
+    """'file:/a/b' or 'file:///a/b' (possibly URL-encoded) -> '/a/b'."""
+    from urllib.parse import unquote, urlparse
 
-    h = hashlib.sha256()
-    with open(path, "rb") as f:
-        while True:
-            b = f.read(chunk)
-            if not b:
-                break
-            h.update(b)
-    return h.hexdigest()
+    p = urlparse(uri)
+    return unquote(p.path) if p.scheme else uri
 
 
 @dataclass
@@ -87,7 +82,7 @@ class HadoopParquetCatalog:
         wall_ms = int((time.time() - t0) * 1000)
 
         import pyarrow.parquet as pq
-        from concurrent.futures import ThreadPoolExecutor
+        from pyspark.sql import functions as F
 
         paths = []
         for dirpath, _, names in os.walk(tmp):
@@ -95,18 +90,40 @@ class HadoopParquetCatalog:
                 if name.endswith(".parquet"):
                     paths.append(os.path.join(dirpath, name))
 
-        def lineage_row(fp: str) -> dict:
-            # hashlib releases the GIL on large updates -> thread pool
-            # keeps the driver-side commit from being a serial section
-            return {
-                "path": os.path.relpath(fp, tmp),
-                "rows": pq.ParquetFile(fp).metadata.num_rows,
-                "bytes": os.path.getsize(fp),
-                "sha256": _sha256_file(fp),
-            }
-
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            files = list(pool.map(lineage_row, paths))
+        # Per-file content hashing runs EXECUTOR-side (binaryFile scan
+        # + JVM sha2): the commit never funnels the table's bytes back
+        # through the driver — at 100 TB that re-read would be a
+        # single-node bottleneck (r1 hashed on the driver). Row counts
+        # come from the parquet FOOTERS only (pyarrow metadata reads,
+        # O(n_files) tiny reads — the same information an Iceberg
+        # manifest records at write time).
+        t1 = time.time()
+        files: list[dict] = []
+        if paths:
+            sha_rows = (
+                df.sparkSession.read.format("binaryFile")
+                .option("pathGlobFilter", "*.parquet")
+                .option("recursiveFileLookup", "true")
+                .load(tmp)
+                .select(
+                    "path",
+                    F.col("length").alias("bytes"),
+                    F.sha2(F.col("content"), 256).alias("sha256"),
+                )
+                .collect()
+            )
+            by_path = {_local_path(r["path"]): r for r in sha_rows}
+            for fp in paths:
+                r = by_path[os.path.abspath(fp)]
+                files.append(
+                    {
+                        "path": os.path.relpath(fp, tmp),
+                        "rows": pq.ParquetFile(fp).metadata.num_rows,
+                        "bytes": r["bytes"],
+                        "sha256": r["sha256"],
+                    }
+                )
+        lineage_ms = int((time.time() - t1) * 1000)
         total_rows = sum(f["rows"] for f in files)
         manifest = {
             "table": table,
@@ -114,6 +131,7 @@ class HadoopParquetCatalog:
             "run_id": run_id,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "wall_ms": wall_ms,
+            "lineage_ms": lineage_ms,
             "n_files": len(files),
             "total_rows": total_rows,
             "files": files,

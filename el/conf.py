@@ -75,11 +75,23 @@ def get_spark(
 
 
 def _scratch_dir() -> str:
+    # explicit override first: container tmpfs is often tiny (64 MB
+    # default in many runtimes), so shuffle-heavy jobs may need to opt
+    # OUT of /dev/shm even when it is writable
+    override = os.environ.get("EL_SPARK_LOCAL_DIR")
+    if override:
+        os.makedirs(override, exist_ok=True)
+        return override
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        d = os.path.join(shm, "spark-local")
-        os.makedirs(d, exist_ok=True)
-        return d
+        try:
+            free = os.statvfs(shm)
+            if free.f_bavail * free.f_frsize >= 8 << 30:  # >= 8 GiB free
+                d = os.path.join(shm, "spark-local")
+                os.makedirs(d, exist_ok=True)
+                return d
+        except OSError:
+            pass
     return os.environ.get("TMPDIR", "/tmp")
 
 

@@ -30,11 +30,19 @@ class PipelineConfig:
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
     use_lsh: bool = True
     use_topics: bool = True
+    # optional 4th blocking strategy: phonetic soundex buckets catch
+    # typo'd names whose prefix4 drifted (smith/smyth); off by default
+    # (the 3-strategy recall gate already holds without it)
+    use_soundex: bool = False
     topic_max_iter: int = 15
     topic_vocab: int = 2048
     lsh_shingle_k: int = 3
     lsh_rows: int = 4
     lsh_bands: int = 16
+    # cap on the TF-IDF/LDA fit input (deterministic hash-sample of
+    # the corpus): bounds the fit-once step at 100x scale; None = no
+    # cap. Model ARTIFACTS are unaffected in shape either way.
+    fit_sample_max: int | None = 100_000
 
 
 def dedup_latest(pages: DataFrame) -> DataFrame:
@@ -66,6 +74,8 @@ def block_stage(
 
     Returns (capped block_keys, block stats)."""
     keys = blocking.name_token_keys(mentions)
+    if cfg.use_soundex:
+        keys = keys.unionByName(blocking.soundex_keys(mentions))
     if cfg.use_lsh:
         from el.minhash import lsh_band_keys
 
@@ -108,7 +118,9 @@ def run_pipeline(
     # relational stages all handle empty inputs, but ml fits do not
     has_mentions = not mentions.isEmpty()
 
-    model = tfidf_model or TfidfModel.fit(mentions, "context")
+    model = tfidf_model or TfidfModel.fit(
+        mentions, "context", max_fit_docs=cfg.fit_sample_max
+    )
     mentions_v = model.transform(mentions, "context", "tfidf")
 
     topic_buckets = None
@@ -122,6 +134,7 @@ def run_pipeline(
                 "context",
                 max_iter=cfg.topic_max_iter,
                 vocab_size=cfg.topic_vocab,
+                max_fit_docs=cfg.fit_sample_max,
             )
             mentions_v = tm.transform(mentions_v, "context", "topic_vec")
             topic_buckets = tm.bucket_keys(mentions_v)

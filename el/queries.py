@@ -329,6 +329,23 @@ def a6_rollup_lineitem(spark, sf_dir):
     )
 
 
+@check(
+    "a6b_cube_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a6b_cube_lineitem(spark, sf_dir):
+    """A6 companion: full CUBE (all grouping-set combinations, not
+    just the rollup prefix chain)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 windows
 # ---------------------------------------------------------------------------
@@ -415,6 +432,25 @@ def w4_running_event_sum(spark, sf_dir):
 def w5_price_median(spark, sf_dir):
     return _t(spark, sf_dir, "orders").agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price")
+    )
+
+
+@check(
+    "w6_ntile_orders",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders
+    """,
+)
+def w6_ntile_orders(spark, sf_dir):
+    """W5 companion: ntile bucketing (equal-height quartiles over a
+    total order — the tie-break on o_orderkey makes the assignment
+    deterministic and engine-independent)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", F.ntile(4).over(w).alias("price_quartile")
     )
 
 

@@ -67,7 +67,9 @@ def _fit_or_load_models(
     if os.path.exists(os.path.join(tfidf_path, "meta.json")):
         tfidf = TfidfModel.load(tfidf_path)
     else:
-        tfidf = TfidfModel.fit(mentions, "context")
+        tfidf = TfidfModel.fit(
+            mentions, "context", max_fit_docs=rc.pipeline.fit_sample_max
+        )
         tfidf.save(tfidf_path)
     topics = None
     if rc.pipeline.use_topics and not mentions.isEmpty():
@@ -82,6 +84,7 @@ def _fit_or_load_models(
                 "context",
                 max_iter=rc.pipeline.topic_max_iter,
                 vocab_size=rc.pipeline.topic_vocab,
+                max_fit_docs=rc.pipeline.fit_sample_max,
             )
             topics.save(topic_path)
     return tfidf, topics

@@ -126,7 +126,17 @@ def score_pairs(
 
     mentions must carry ``tfidf`` (el.tfidf.TfidfModel.transform) and
     ``topic_vec`` (el.topics; may be NULL -> cos_topic = 0 and the
-    context signal is pure TF-IDF)."""
+    context signal is pure TF-IDF).
+
+    Column contract: ``is_match`` is exact for every row. ``score``
+    (the logistic value) is fully calibrated only for HOT rows
+    (lev_sim >= the jw gate); cold rows — which cannot match by
+    construction — report jw/cos features as 0.0, so their score is a
+    monotone function of lev_sim alone and is suitable for filtering
+    but not for fine-grained ranking among cold pairs. Consumers that
+    need calibrated scores across ALL pairs should re-score the cold
+    subset explicitly (the vectors are in ``mentions``); the pipeline
+    itself only ever ranks within the hot subset."""
     if "topic_vec" not in mentions.columns:
         mentions = mentions.withColumn(
             "topic_vec", F.lit(None).cast(T.ArrayType(T.DoubleType()))

@@ -55,6 +55,7 @@ class TopicModel:
         min_df: int = 2,
         max_iter: int = 30,
         seed: int = 13,
+        max_fit_docs: int | None = None,
     ) -> "TopicModel":
         from pyspark.ml.clustering import LDA
 
@@ -64,6 +65,18 @@ class TopicModel:
             .where(F.col("__text").isNotNull())
             .distinct()
         )
+        # fit-once artifact on a bounded, deterministic hash-sample:
+        # topic structure is a corpus statistic, so a uniform sample
+        # suffices, and a pure-function-of-text sample keeps the
+        # artifact identical at any parallelism (§4.4). Without this
+        # the fit tokenizes the full corpus at 100x scale.
+        if max_fit_docs is not None and max_fit_docs > 0:
+            n_total = docs.count()
+            if n_total > max_fit_docs:
+                m = -(-n_total // max_fit_docs)  # ceil
+                docs = docs.where(
+                    F.pmod(F.xxhash64(F.col("__text")), F.lit(m)) == 0
+                )
         toked = tok.transform(docs)
         cv = CountVectorizer(
             inputCol="__toks", outputCol="__tf", vocabSize=vocab_size, minDF=min_df

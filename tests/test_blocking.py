@@ -97,3 +97,43 @@ def test_salted_pairs_subset_of_unsalted(spark):
         (r.a_id, r.b_id) for r in blocking.candidate_pairs(cold_keys).collect()
     }
     assert cold_pairs <= sub_set
+
+
+def test_soundex_keys_catch_phonetic_typos(spark):
+    """The optional soundex strategy must co-block name variants whose
+    4-char prefix drifted (smith/smyth) — the recall contribution the
+    name_token strategy alone cannot provide."""
+    rows = [
+        (1, "u1", ["smith", "aaron"]),
+        (2, "u2", ["smyth", "peter"]),
+        (3, "u3", ["baker", "anne"]),
+    ]
+    m = spark.createDataFrame(
+        rows, "mention_id long, url string, name_tokens array<string>"
+    )
+    sx = blocking.soundex_keys(m)
+    nt = blocking.name_token_keys(m)
+
+    def coblocked(keys, a, b):
+        pairs = blocking.candidate_pairs(keys)
+        return pairs.where(
+            (F.col("a_id") == a) & (F.col("b_id") == b)
+        ).count() > 0
+
+    assert not coblocked(nt, 1, 2), "prefix4 should NOT co-block smith/smyth"
+    assert coblocked(sx, 1, 2), "soundex must co-block smith/smyth"
+    assert not coblocked(sx, 1, 3) and not coblocked(sx, 2, 3)
+    # schema matches the other strategies (unionByName-compatible)
+    assert sx.columns == nt.columns
+
+
+def test_pipeline_flag_enables_soundex_strategy(spark):
+    from el.pipeline import block_stage
+
+    mentions = mentions_stage(
+        gen_web_pages(spark, 120), PipelineConfig(use_lsh=False)
+    )
+    cfg = PipelineConfig(use_lsh=False, use_topics=False, use_soundex=True)
+    keys, _ = block_stage(mentions, cfg)
+    strategies = {r.strategy for r in keys.select("strategy").distinct().collect()}
+    assert strategies == {"name_token", "soundex"}

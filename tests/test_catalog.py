@@ -30,6 +30,28 @@ def test_write_read_roundtrip_with_lineage(spark, cat):
     assert cat.committed("t1", "r1") and not cat.committed("t1", "r2")
 
 
+def test_lineage_sha_matches_file_bytes(spark, cat):
+    """The executor-side sha2(binaryFile) lineage must equal the true
+    sha256 of each committed file's bytes (same hashes r1 computed on
+    the driver)."""
+    import hashlib
+
+    m = cat.write(spark.range(500).repartition(3), "t2", run_id="r1")
+    for f in m["files"]:
+        fp = os.path.join(cat.root, "t2", f["path"])
+        digest = hashlib.sha256(open(fp, "rb").read()).hexdigest()
+        assert f["sha256"] == digest
+        assert f["bytes"] == os.path.getsize(fp)
+    assert "lineage_ms" in m
+
+
+def test_empty_table_commit(spark, cat):
+    df = spark.range(10).where("id < 0")
+    m = cat.write(df, "empty_t", run_id="r1")
+    assert m["total_rows"] == 0
+    assert cat.read(spark, "empty_t").count() == 0
+
+
 def test_uncommitted_table_unreadable(spark, cat):
     with pytest.raises(FileNotFoundError):
         cat.read(spark, "nope")
