@@ -43,11 +43,11 @@ HEADLINE_OPTIONAL = [
     "dd1_exact_dedup_docs",
     "dd2_minhash_lsh_dedup",
     "dd3_simhash_dedup",
-    # dd4_ngram_jaccard is the exact quadratic-within-block verifier
-    # (oracle-checked at sf0.01); the scale path for near-dup candidates
-    # is dd2 (MinHash+LSH) — benching the quadratic op at sf0.1 would
-    # measure the verify-everything anti-pattern, not the engine
-    "dd5_embedding_neardup",
+    # dd4/dd5's exact forms are quadratic-within-block small-scale
+    # baselines (oracle-checked at sf0.01, not benched here); the
+    # default block-then-verify scale paths ARE benched:
+    "dd4b_ngram_jaccard_minhash",
+    "dd5b_embedding_neardup_lsh",
     "ann1_cosine_topk",
     "ann2_lsh_topk",
     "tx1_language_id",

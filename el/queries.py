@@ -1073,6 +1073,35 @@ def a4_grouped_vector_centroid(spark, sf_dir):
 
 
 @check(
+    "a4b_grouped_vector_centroid_jvm",
+    oracle="""
+    SELECT e.label AS label, t.i - 1 AS dim,
+           round(CAST(avg(e.embedding[t.i]) AS DOUBLE), 4) AS c,
+           count(*) AS n_members
+    FROM embeddings e CROSS JOIN range(1, 65) t(i)
+    GROUP BY e.label, t.i
+    """,
+)
+def a4b_grouped_vector_centroid_jvm(spark, sf_dir):
+    """A4 scale variant: builtin per-element avg (map-side partial
+    aggregation — the shuffle carries (sum, count) accumulators, not
+    raw vectors; the pandas-UDAF form a4 cannot partial-agg)."""
+    from el.similarity import grouped_centroid_jvm
+
+    cent = grouped_centroid_jvm(_t(spark, sf_dir, "embeddings"))
+    return cent.select(
+        "label",
+        F.posexplode("centroid").alias("dim", "c_raw"),
+        "n_members",
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("c_raw", 4).alias("c"),
+        "n_members",
+    )
+
+
+@check(
     "j8_asof_latest_event",
     oracle="""
     WITH latest AS (

@@ -154,6 +154,31 @@ def lsh_topk(
     )
 
 
+def grouped_centroid_jvm(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """A4 scale variant: element-wise avg as ``dim`` builtin JVM
+    aggregates. Unlike the pandas-UDAF form (grouped_centroid below),
+    builtin avg gets MAP-SIDE PARTIAL AGGREGATION — each partition
+    ships one (sum, count) accumulator per group instead of its raw
+    vectors, so the shuffle is O(groups x dim) regardless of corpus
+    size. Requires a fixed, known dim; plan audited in
+    tests/test_plans.py (partial_avg present, no Python nodes)."""
+    aggs = [
+        F.avg(F.col(vec_col)[i].cast("double")).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    out = df.groupBy(group_col).agg(*aggs, F.count("*").alias("n_members"))
+    return out.select(
+        group_col,
+        F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+        "n_members",
+    )
+
+
 def grouped_centroid(
     df: DataFrame,
     group_col: str = "label",

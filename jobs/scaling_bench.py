@@ -10,12 +10,25 @@ Protocol:
 2. PREP run (untimed): fits TF-IDF + LDA once and saves the artifacts
    — both timed runs LOAD the same models, so their compute is
    identical and deterministic (SURVEY.md §4.4)
-3. timed run at local[8]  -> catalog A
-4. timed run at local[32] -> catalog B
+3. timed run at local[8], CPU-PINNED to 8 cores  -> catalog A
+4. timed run at local[32] on all 32 cores        -> catalog B
 5. efficiency = (pairs/sec at 32) / (4 x pairs/sec at 8), on the
    scoring stage (the BASELINE.md throughput metric) and end-to-end
 6. determinism evidence: per-url extract_sha sets and the cluster
    partition must be IDENTICAL between the two runs
+
+CPU pinning (the fix for r1's misleading numbers): an "N-executor"
+run must only OWN N cores. Unpinned, the local[8] JVM's task threads
++ 8 Python UDF workers + GC/shuffle/IPC threads spread over all 32
+host cores (~16 runnable threads, a full core each), while the
+local[32] run self-contends (64+ runnable threads on 32 cores, half
+a core each) — the N-level throughput is inflated by up to 2x and
+the measured "efficiency" converges to 0.5 regardless of plan
+quality (exactly r1's 0.50). ``taskset -c 0-(N-1)`` gives each level
+the core budget a real N-core executor node would have; on an actual
+cluster every node runs the same thread mix on its own cores, which
+is what the pinned runs emulate. Pass --no-pin to reproduce the
+unpinned (flawed) protocol.
 
 Prints one JSON line; paste the numbers into BASELINE.md §scaling.
 """
@@ -46,13 +59,21 @@ def make_zip(path: str) -> str:
     return zpath
 
 
+def _pin_prefix(cpus: int | None) -> list[str]:
+    """taskset prefix giving the run a core budget == its parallelism
+    (None -> unpinned)."""
+    if cpus is None or not shutil.which("taskset"):
+        return []
+    return ["taskset", "-c", f"0-{cpus - 1}"]
+
+
 def submit(master: str, zpath: str, out: str, pages: int, model_dir: str,
-           chunks: int) -> dict:
+           chunks: int, pin_cpus: int | None = None) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(os.path.dirname(shutil.which("python"))),
         "bin", "spark-submit",
     )
-    cmd = [
+    cmd = _pin_prefix(pin_cpus) + [
         spark_submit,
         "--master", master,
         # driver memory MUST be on the submit command line: in local
@@ -106,7 +127,8 @@ def compare_tables(out_a: str, out_b: str) -> dict:
     return {"extract_sha_mismatches": sha_diff, "cluster_mismatches": cl_diff}
 
 
-def kernel_scaling(work: str, levels: list[int], reps: int) -> dict:
+def kernel_scaling(work: str, levels: list[int], reps: int,
+                   pin: bool = True) -> dict:
     """Scoring-throughput scaling with storage effects excluded: time
     ONLY the scoring operator (noop sink, pre-materialized inputs,
     min-of-reps to reject hypervisor-steal outliers) at each
@@ -122,8 +144,12 @@ level, work, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
 spark = get_spark('kscale', master=f'local[{level}]',
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
 spark.sparkContext.setLogLevel("ERROR")
-pairs = spark.read.parquet(f'{work}/prep/candidate_pairs').localCheckpoint()
-mv = spark.read.parquet(f'{work}/prep/mentions_vec').localCheckpoint()
+# stream inputs from parquet (tmpfs workdir): localCheckpoint-ing a
+# ~10M-row pair table pins GBs of deserialized blocks in the shared
+# local-mode heap, which squeezes execution memory 4x harder at the
+# 4N level and corrupts the comparison (measured r2)
+pairs = spark.read.parquet(f'{work}/prep/candidate_pairs')
+mv = spark.read.parquet(f'{work}/prep/mentions_vec')
 sc = score_pairs(pairs, mv, ScoringConfig())
 n = pairs.count()
 walls = []
@@ -138,7 +164,8 @@ print(json.dumps({"level": level, "n_pairs": n, "walls": walls}))
         env = dict(os.environ)
         env.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
         proc = subprocess.run(
-            [sys.executable, "-c", script, str(level), work, str(reps)],
+            _pin_prefix(level if pin else None)
+            + [sys.executable, "-c", script, str(level), work, str(reps)],
             capture_output=True, text=True, env=env, cwd=REPO,
         )
         lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
@@ -163,12 +190,31 @@ def main() -> None:
     ap.add_argument("--large", type=int, default=32)
     ap.add_argument("--score-chunks", type=int, default=4)
     ap.add_argument("--workdir", default=None)
-    ap.add_argument("--kernel-levels", default="2,8,32",
-                    help="parallelism sweep for the scoring-kernel scaling")
-    ap.add_argument("--kernel-reps", type=int, default=3)
+    ap.add_argument("--kernel-levels", default="4,8,16,32",
+                    help="parallelism sweep for the scoring-kernel scaling "
+                         "(N->4N efficiency reported for every 4x pair)")
+    ap.add_argument("--kernel-reps", type=int, default=6,
+                    help="min-of-reps per level (the min rejects the "
+                         "hypervisor's multi-second random vCPU stalls)")
+    ap.add_argument("--no-pin", action="store_true",
+                    help="disable CPU pinning (r1's flawed protocol)")
     args = ap.parse_args()
 
-    work = args.workdir or tempfile.mkdtemp(prefix="el_scaling_")
+    pin = not args.no_pin
+    if args.workdir:
+        work = args.workdir
+    else:
+        # tmpfs workdir when roomy: the shared virtual disk's
+        # concurrent-write collapse would otherwise dominate both
+        # runs (a real cluster's per-node NVMe scales with nodes)
+        base = None
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 32 << 30:
+                base = "/dev/shm"
+        except OSError:
+            pass
+        work = tempfile.mkdtemp(prefix="el_scaling_", dir=base)
     os.makedirs(work, exist_ok=True)
     zpath = make_zip(work)
     model_dir = os.path.join(work, "models")
@@ -179,10 +225,12 @@ def main() -> None:
 
     r_small = submit(f"local[{args.small}]", zpath,
                      os.path.join(work, "runA"), args.pages, model_dir,
-                     args.score_chunks)
+                     args.score_chunks,
+                     pin_cpus=args.small if pin else None)
     r_large = submit(f"local[{args.large}]", zpath,
                      os.path.join(work, "runB"), args.pages, model_dir,
-                     args.score_chunks)
+                     args.score_chunks,
+                     pin_cpus=args.large if pin else None)
 
     def tput(r):
         s = r["stages"]["scored_pairs"]
@@ -194,7 +242,7 @@ def main() -> None:
     det = compare_tables(os.path.join(work, "runA"), os.path.join(work, "runB"))
 
     levels = [int(x) for x in args.kernel_levels.split(",") if x]
-    kernel = kernel_scaling(work, levels, args.kernel_reps)
+    kernel = kernel_scaling(work, levels, args.kernel_reps, pin=pin)
     kernel_eff = {}
     for a in levels:
         for b in levels:
@@ -208,6 +256,11 @@ def main() -> None:
     print(json.dumps({
         "pages": args.pages,
         "deployment": "spark-submit --py-files el.zip jobs/run_pipeline.py",
+        "protocol": (
+            "cpu-pinned (taskset: core budget == parallelism)" if pin
+            else "unpinned"
+        ),
+        "workdir_fs": "tmpfs" if work.startswith("/dev/shm") else "disk",
         "small": {"master": f"local[{args.small}]",
                   "wall_sec": r_small["wall_sec"],
                   "score_wall_ms": r_small["stages"]["scored_pairs"]["wall_ms"],

@@ -93,6 +93,20 @@ def test_whole_stage_codegen_covers_relational_ops(spark):
     assert "*(2) HashAggregate" in plan or "*(1) HashAggregate" in plan
 
 
+def test_centroid_jvm_uses_partial_aggregation(spark):
+    """The JVM centroid variant must get map-side partial aggregation
+    (shuffle carries accumulators, not raw vectors) and contain no
+    Python nodes."""
+    from el.similarity import grouped_centroid_jvm
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(grouped_centroid_jvm(e))
+    assert "partial_avg" in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "AggregateInPandas" not in plan
+
+
 def test_no_cartesian_in_blocked_dedup(spark):
     """Both ngram_jaccard_pairs paths must stay equi-joins — the
     exact path on the block col, the minhash path on the band key."""
