@@ -1041,6 +1041,25 @@ def st3_session_window_counts(spark, sf_dir):
     return session_counts(_t(spark, sf_dir, "events"), gap="30 minutes")
 
 
+@check(
+    "st6_user_event_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def st6_user_event_stats(spark, sf_dir):
+    """ST6 batch twin: per-user event stats. The streaming form is a
+    custom applyInPandasWithState operator whose final per-key state
+    equals this (asserted across real micro-batches in
+    tests/test_streaming.py)."""
+    from el.streaming import user_event_stats
+
+    return user_event_stats(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # remaining §2 inventory rows: A4, J8, F5, F7
 # ---------------------------------------------------------------------------

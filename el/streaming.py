@@ -19,6 +19,11 @@ Operators:
   each micro-batch atomically through the el.catalog manifest path
   (exactly-once per micro-batch re-delivery: batch id in table name,
   overwrite-idempotent)
+- ST6 custom stateful operator: ``user_event_stats`` — per-key
+  incremental state via ``applyInPandasWithState`` (count/first/last
+  per user, state carried across micro-batches; the batch twin is a
+  plain groupBy with a DuckDB oracle, and the stream's final state
+  must equal it — asserted in tests)
 """
 
 from __future__ import annotations
@@ -107,6 +112,80 @@ def dedup_stream(
             [key]
         )
     return pages.dropDuplicates([key])
+
+
+def user_event_stats(
+    df: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """ST6: per-key event stats (n_events, first_ts, last_ts) as a
+    CUSTOM stateful operator.
+
+    Batch twin: plain groupBy (count/min/max — order-independent and
+    exact, so the DuckDB oracle applies). Streaming: per-key state
+    (n, first_us, last_us) maintained with ``applyInPandasWithState``
+    — each micro-batch folds its rows into the key's state and emits
+    the updated stats row, so the LAST emission per key equals the
+    batch answer over the full input (asserted in
+    tests/test_streaming.py across multiple real micro-batches).
+    State is three scalars per key — bounded by key cardinality, not
+    event count; timestamps are held as int64 epoch-micros (exact).
+    """
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    if not df.isStreaming:
+        return df.groupBy(key_col).agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min(ts_col), fmt).alias("first_ts"),
+            F.date_format(F.max(ts_col), fmt).alias("last_ts"),
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, n_events long, first_ts string, last_ts string"
+    )
+    state_schema = "n long, first_us long, last_us long"
+
+    def fold(key, pdfs, state):
+        n, first_us, last_us = (
+            state.get if state.exists else (0, None, None)
+        )
+        for pdf in pdfs:
+            us = pd.to_datetime(pdf[ts_col]).astype("datetime64[us]").astype(
+                "int64"
+            )
+            if len(us) == 0:
+                continue
+            n += len(us)
+            lo, hi = int(us.min()), int(us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "first_ts": [
+                    pd.Timestamp(first_us, unit="us").strftime(
+                        "%Y-%m-%d %H:%M:%S"
+                    )
+                ],
+                "last_ts": [
+                    pd.Timestamp(last_us, unit="us").strftime(
+                        "%Y-%m-%d %H:%M:%S"
+                    )
+                ],
+            }
+        )
+
+    src = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return src.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def sink_to_catalog(

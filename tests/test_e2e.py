@@ -56,6 +56,20 @@ def test_scored_pairs_symmetric_ids(spark, e2e):
     assert bad == 0
 
 
+def test_f1_gate_holds_with_binding_fit_sample_cap(spark):
+    """At 100 TB the TF-IDF/LDA fit runs on a hash-sample, so the
+    gate must hold when the cap BINDS (here: 300 of ~900 mentions).
+    IDF/topic structure are corpus statistics — a uniform sample
+    preserves them; this pins that claim."""
+    pages = gen_web_pages(spark, N_PAGES).localCheckpoint()
+    cfg = PipelineConfig(use_lsh=True, use_topics=True, fit_sample_max=300)
+    out = run_pipeline(spark, pages, cfg)
+    labeled = gen_labeled_pairs(spark, N_PAGES)
+    uc = primary_clusters(out["clusters"], out["mentions"])
+    res = pairwise_scores(labeled, uc)
+    assert res["f1"] >= 0.99, res
+
+
 def test_pipeline_survives_empty_corpus(spark):
     """Degenerate input (nothing passes the lang gate) must produce
     empty-but-well-formed stage tables, not an ml-fit crash."""

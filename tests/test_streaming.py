@@ -88,6 +88,48 @@ def test_stream_dedup_by_url(spark, tmp_path):
     assert got.groupBy("url").count().where("count > 1").count() == 0
 
 
+def test_stateful_user_stats_across_microbatches(spark, events_dir, tmp_path):
+    """ST6: applyInPandasWithState must carry per-key state across
+    REAL micro-batches (maxFilesPerTrigger=1 over a 4-file source)
+    and its final per-key emission must equal the batch twin."""
+    from el.streaming import user_event_stats
+
+    batch = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = (
+        user_event_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_stats"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table("user_stats")
+    # update mode appends one emission per (key, micro-batch); with 4
+    # files there must be keys emitted more than once (state carried)
+    re_emitted = emitted.groupBy("user_id").count().where("count > 1").count()
+    assert re_emitted > 0, "expected multiple micro-batches per key"
+    # final state per key = emission with the largest n_events
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+    )
+    want = user_event_stats(batch)
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_sink_to_catalog_commits_batches(spark, events_dir, tmp_path):
     cat = HadoopParquetCatalog(str(tmp_path / "cat"))
     batch = spark.read.parquet(events_dir)

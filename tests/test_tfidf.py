@@ -45,6 +45,21 @@ def test_fnv1a_vectorized_matches_scalar(bits, oracle):
     assert fnv1a_tokens([], bits=bits).size == 0
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.text(min_size=0, max_size=40), max_size=60))
+    @settings(max_examples=120, deadline=None)
+    def test_fnv1a_vectorized_matches_scalar_hypothesis(tokens):
+        got32 = fnv1a_tokens(tokens, bits=32)
+        got64 = fnv1a_tokens(tokens, bits=64)
+        assert [int(x) for x in got32] == [_fnv32_scalar(t) for t in tokens]
+        assert [int(x) for x in got64] == [_fnv64_scalar(t) for t in tokens]
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_fit_matches_python_oracle_exactly(spark):
     df = spark.createDataFrame([(t,) for t in TEXTS], "context string")
     m = TfidfModel.fit(df, "context")
