@@ -24,7 +24,13 @@ Mechanics (J4/J5 semi/anti-join ops from SURVEY.md §2.3):
    edge set (edges are tiny relative to pairs; large-star/small-star
    converges in O(log n) rounds from scratch — incremental CC state
    is not worth the complexity at this edge density);
-6. commit updated mentions / block_keys / scored / clusters tables.
+6. commit APPEND-ONLY: the corpus-sized tables (mentions,
+   mentions_vec, scored pairs) each gain one ``<base>_delta_NNNN``
+   table per absorbed batch and are read back merge-on-read
+   (``_read_with_deltas``) — commit I/O scales with the delta. Only
+   block_keys (re-capped, bounded strings) and clusters (global CC
+   output) are rewritten; Iceberg row-level ops remove those two
+   rewrites when the jar is present.
 
 Equivalence: with capping disabled (or cap never reached),
 ``incremental(A then B) == full(A ∪ B)`` exactly — asserted in
@@ -50,6 +56,32 @@ from el.runner import RunConfig, _fit_or_load_models, _models_dir
 from el.scoring import matched_edges, score_pairs
 
 
+def _delta_names(catalog: HadoopParquetCatalog, base: str) -> list[str]:
+    """Committed append-only delta tables for ``base``, in order."""
+    if not os.path.isdir(catalog.root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(catalog.root)
+        if d.startswith(f"{base}_delta_") and catalog.exists(d)
+    )
+
+
+def _read_with_deltas(spark, catalog: HadoopParquetCatalog, base: str):
+    """Merge-on-read: base table ∪ its committed deltas. This is the
+    append-only discipline for the O(corpus)-payload tables — each
+    absorbed batch commits ONLY its delta (Iceberg's append shape);
+    nothing ever rewrites the corpus-sized tables."""
+    df = catalog.read(spark, base)
+    for d in _delta_names(catalog, base):
+        df = df.unionByName(catalog.read(spark, d))
+    return df
+
+
+def _next_delta(catalog: HadoopParquetCatalog, base: str) -> str:
+    return f"{base}_delta_{len(_delta_names(catalog, base)):04d}"
+
+
 def incremental_update(
     spark: SparkSession,
     new_pages: DataFrame,
@@ -62,21 +94,25 @@ def incremental_update(
     cfg: PipelineConfig = rc.pipeline
     t0 = time.time()
 
-    # Old tables are read AND overwritten below: materialize them
-    # (localCheckpoint) so no downstream plan references files the
-    # commit rename replaces. With the Iceberg backend this is free —
-    # readers pin a snapshot while the commit creates a new one.
-    old_mentions = catalog.read(spark, "mentions").localCheckpoint(eager=True)
+    # localCheckpoint: these are read several times below, and
+    # block_keys/clusters ARE overwritten at commit time — no
+    # downstream plan may reference files a rename replaces. With the
+    # Iceberg backend the barrier is free — readers pin a snapshot.
+    old_mentions = _read_with_deltas(spark, catalog, "mentions").localCheckpoint(
+        eager=True
+    )
     old_keys = catalog.read(spark, "block_keys").localCheckpoint(eager=True)
     if catalog.exists("scored_pairs_all"):
         old_scored = catalog.read(spark, "scored_pairs_all")
-    else:  # first delta after a chunked runner pass: union the chunks
+    else:  # chunked runner pass: union the chunks
         chunk_dirs = sorted(
             os.path.join(catalog.root, d)
             for d in os.listdir(catalog.root)
             if d.startswith("scored_chunk_")
         )
         old_scored = spark.read.parquet(*chunk_dirs)
+    for d in _delta_names(catalog, "scored_pairs"):
+        old_scored = old_scored.unionByName(catalog.read(spark, d))
     old_scored = old_scored.localCheckpoint(eager=True)
 
     # 1. new mentions (urls not yet ingested)
@@ -108,7 +144,9 @@ def incremental_update(
         new_vec = topics.transform(new_vec, "context", "topic_vec")
         topic_buckets = topics.bucket_keys(new_vec)
     new_vec = new_vec.localCheckpoint(eager=True)
-    old_vec = catalog.read(spark, "mentions_vec").localCheckpoint(eager=True)
+    old_vec = _read_with_deltas(spark, catalog, "mentions_vec").localCheckpoint(
+        eager=True
+    )
     all_vec = old_vec.unionByName(new_vec)
 
     # 3. combined block keys, RE-CAPPED, restricted to touched blocks
@@ -146,23 +184,33 @@ def incremental_update(
     edges = matched_edges(all_scored)
     clusters = clusters_of(all_mentions, edges)
 
-    # 6. commit the updated world
-    catalog.write(all_mentions, "mentions", run_id=rc.run_id, stage="mentions")
-    catalog.write(all_vec, "mentions_vec", run_id=rc.run_id,
-                  stage="mentions_vec")
+    # 6. commit: APPEND-ONLY deltas for the corpus-sized tables
+    # (mentions / mentions_vec / scored pairs — each batch writes only
+    # its delta, so commit I/O scales with the delta, not the corpus);
+    # block_keys (bounded per-mention key strings, re-capped per
+    # batch) and clusters (global CC output — ids can change
+    # corpus-wide on any merge) are the two rewrites, both removable
+    # with Iceberg row-level replace / MOR when the jar is present.
+    n_new = new_mentions.count()
+    n_delta = delta_scored.count()
+    if n_new:
+        catalog.write(new_mentions, _next_delta(catalog, "mentions"),
+                      run_id=rc.run_id, stage="mentions")
+        catalog.write(new_vec, _next_delta(catalog, "mentions_vec"),
+                      run_id=rc.run_id, stage="mentions_vec")
+    if n_delta:
+        catalog.write(delta_scored, _next_delta(catalog, "scored_pairs"),
+                      run_id=rc.run_id, stage="scored_pairs")
     catalog.write(combined_keys, "block_keys", run_id=rc.run_id,
                   stage="block_keys", partition_by=["strategy"])
-    m_scored = catalog.write(all_scored, "scored_pairs_all",
-                             run_id=rc.run_id, stage="scored_pairs")
     m_clusters = catalog.write(clusters, "clusters", run_id=rc.run_id,
                                stage="clusters")
 
-    n_delta = delta_scored.count()
     return {
         "report": {
-            "new_mentions": new_mentions.count(),
+            "new_mentions": n_new,
             "delta_pairs_scored": n_delta,
-            "total_pairs": m_scored["total_rows"],
+            "total_pairs": old_scored.count() + n_delta,
             "total_mentions": m_clusters["total_rows"],
             # scale diagnostics: the pair self-join's input must track
             # the delta, not the corpus (asserted in tests)

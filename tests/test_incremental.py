@@ -110,6 +110,38 @@ def test_incremental_join_input_scales_with_delta(spark, tmp_path_factory, rc):
     assert rep["touched_key_rows"] < 0.5 * rep["combined_key_rows"], rep
 
 
+def test_incremental_commits_are_append_only(spark, tmp_path_factory, rc):
+    """Absorbing a batch must NOT rewrite the corpus-sized tables:
+    the base mentions/mentions_vec commits stay untouched (same
+    manifest) and each batch adds exactly one delta table whose rows
+    == the batch's new mentions — commit I/O scales with the delta."""
+    all_pages = gen_web_pages(spark, 300).localCheckpoint()
+    split = F.pmod(F.xxhash64("url"), F.lit(3))
+    cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("ao")))
+    run_checkpointed(spark, all_pages.where(split == 0), cat, rc, resume=False)
+    base_manifest = cat.manifest("mentions")
+
+    r1 = incremental_update(spark, all_pages.where(split == 1), cat, rc)
+    r2 = incremental_update(spark, all_pages.where(split == 2), cat, rc)
+
+    assert cat.manifest("mentions") == base_manifest, "base was rewritten"
+    for base in ("mentions", "mentions_vec"):
+        assert cat.exists(f"{base}_delta_0000")
+        assert cat.exists(f"{base}_delta_0001")
+    assert cat.manifest("mentions_delta_0000")["total_rows"] == r1["report"][
+        "new_mentions"
+    ]
+    assert cat.manifest("mentions_delta_0001")["total_rows"] == r2["report"][
+        "new_mentions"
+    ]
+    # merge-on-read view covers the full corpus exactly once
+    from el.incremental import _read_with_deltas
+
+    total = _read_with_deltas(spark, cat, "mentions")
+    assert total.count() == total.select("mention_id").distinct().count()
+    assert total.count() == r2["report"]["total_mentions"]
+
+
 def test_incremental_recaps_hot_blocks(spark, tmp_path_factory):
     """Absorbed batches must not grow a hot block past cap_k (ADVICE
     r1: the union of capped old keys + capped delta keys was never
