@@ -42,6 +42,15 @@ class ScoringConfig:
     t_ctx: float = 0.12
     topic_blend: float = 0.3  # ctx = (1-b)*cos_tfidf + b*cos_topic (if topics)
     jw_weight: float = 0.6  # name_sim = jw_weight*jw + (1-jw_weight)*lev_sim
+    # feature-attach join strategy. True (default): force-broadcast
+    # the mention-feature side — measured 4.5x at sandbox scale, and
+    # correct whenever per-executor memory holds the feature table
+    # (blocking caps guarantee |pairs| >> |mentions|). At corpus
+    # scales where the feature table exceeds executor memory
+    # (~10^9+ mentions), set False to fall back to a shuffled join
+    # that AQE sizes — same results (asserted in tests), different
+    # physical plan. Size-driven: pick per deployment, not per row.
+    broadcast_features: bool = True
 
 
 _FEATURES_SCHEMA = T.StructType(
@@ -143,8 +152,9 @@ def score_pairs(
         )
     # stage 1: attach ONLY the normalized names (light payload) and
     # compute lev_sim JVM-side for every pair
-    df = _attach_side(pairs, mentions, "a", {"norm_name": "a_norm"})
-    df = _attach_side(df, mentions, "b", {"norm_name": "b_norm"})
+    bc = cfg.broadcast_features
+    df = _attach_side(pairs, mentions, "a", {"norm_name": "a_norm"}, broadcast=bc)
+    df = _attach_side(df, mentions, "b", {"norm_name": "b_norm"}, broadcast=bc)
 
     lev_sim = (
         F.lit(1.0)
@@ -169,8 +179,8 @@ def score_pairs(
     # stage 2 (hot only): attach vectors + fused feature UDF
     vec_cols_a = {"tfidf": "a_tfidf", "topic_vec": "a_topic"}
     vec_cols_b = {"tfidf": "b_tfidf", "topic_vec": "b_topic"}
-    hot = _attach_side(hot, mentions, "a", vec_cols_a)
-    hot = _attach_side(hot, mentions, "b", vec_cols_b)
+    hot = _attach_side(hot, mentions, "a", vec_cols_a, broadcast=bc)
+    hot = _attach_side(hot, mentions, "b", vec_cols_b, broadcast=bc)
 
     feats = _features_udf(cfg)
     hot = hot.withColumn(

@@ -81,6 +81,46 @@ def test_scoring_plan_shape(spark):
     assert plan.count("ArrowEvalPython") == 1  # hot branch only
 
 
+def test_scoring_shuffled_join_fallback_equals_broadcast(spark):
+    """broadcast_features=False (for corpora whose feature table
+    exceeds executor memory) must produce identical rows through a
+    shuffled join — the knob changes the physical plan only."""
+    from el.fixtures import gen_web_pages
+    from el.pipeline import PipelineConfig, mentions_stage
+    from el.scoring import ScoringConfig, score_pairs
+    from el.tfidf import TfidfModel
+    from el import blocking
+
+    pages = gen_web_pages(spark, 150)
+    cfg = PipelineConfig(use_lsh=False, use_topics=False)
+    m = mentions_stage(pages, cfg).localCheckpoint()
+    mv = (
+        TfidfModel.fit(m, "context").transform(m, "context", "tfidf")
+        .localCheckpoint()
+    )
+    keys, _ = blocking.cap_blocks(blocking.name_token_keys(m))
+    pairs = blocking.candidate_pairs(keys).localCheckpoint()
+
+    on = score_pairs(pairs, mv, ScoringConfig(broadcast_features=True))
+    off = score_pairs(pairs, mv, ScoringConfig(broadcast_features=False))
+    # without the hint Catalyst still auto-broadcasts small tables
+    # (that IS the size-driven behavior); disable the auto threshold
+    # to prove the fallback genuinely shuffles when size forbids it
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_off = _plan(off)
+        assert "BroadcastHashJoin" not in plan_off
+        assert "SortMergeJoin" in plan_off
+        plan_on = _plan(on)
+        assert "BroadcastHashJoin" in plan_on  # hint overrides threshold
+        rows_on = sorted(map(tuple, on.collect()))
+        rows_off = sorted(map(tuple, off.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert rows_on == rows_off
+
+
 def test_whole_stage_codegen_covers_relational_ops(spark):
     from el.queries import REGISTRY
 
