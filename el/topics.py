@@ -77,10 +77,43 @@ class TopicModel:
                 docs = docs.where(
                     F.pmod(F.xxhash64(F.col("__text")), F.lit(m)) == 0
                 )
+        # Pin the fit input's physical layout: a FIXED partition count
+        # hash-partitioned by content, with a per-partition sort. The
+        # online LDA optimizer subsamples per partition and the
+        # CountVectorizer's vocab cutoff breaks frequency ties by
+        # aggregation order, so an AQE/session-dependent layout makes
+        # refits drift (measured: same data + seed, different topic
+        # buckets per session). With the layout a pure function of the
+        # corpus content, refitting is reproducible across sessions
+        # AND parallelism levels (§4.4); persisted artifacts remain
+        # the production path.
+        docs = docs.repartition(64, F.xxhash64("__text")).sortWithinPartitions(
+            "__text"
+        )
         toked = tok.transform(docs)
-        cv = CountVectorizer(
-            inputCol="__toks", outputCol="__tf", vocabSize=vocab_size, minDF=min_df
-        ).fit(toked)
+        # Deterministic vocabulary: CountVectorizer.fit breaks count
+        # TIES in arbitrary (aggregation-order-dependent) order, so
+        # the same corpus could yield a permuted vocab per session —
+        # permuting LDA's feature space and drifting topic buckets
+        # (measured: identical vocab SET, different order). Build the
+        # vocab with a TOTAL order (df desc, term asc) and install it
+        # via from_vocabulary — bit-stable across sessions and
+        # parallelism. The collect is bounded by vocab_size.
+        from pyspark.ml.feature import CountVectorizerModel
+
+        df_counts = (
+            toked.select(F.explode(F.array_distinct("__toks")).alias("t"))
+            .groupBy("t")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") >= min_df)
+            .orderBy(F.col("df").desc(), F.col("t"))
+            .limit(vocab_size)
+        )
+        vocab = [r["t"] for r in df_counts.collect()]
+        _ = CountVectorizer  # API parity anchor (semantics mirrored above)
+        cv = CountVectorizerModel.from_vocabulary(
+            vocab, inputCol="__toks", outputCol="__tf"
+        )
         tf = cv.transform(toked)
         lda = LDA(
             k=k,

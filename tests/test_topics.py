@@ -53,3 +53,20 @@ def test_buckets_separate_topics(spark, corpus, tmp_path_factory):
     tm2 = TopicModel.load(spark, path)
     keys2 = tm2.bucket_keys(tm2.transform(corpus, "context", "topic_vec"))
     assert sorted(map(tuple, keys.collect())) == sorted(map(tuple, keys2.collect()))
+
+
+def test_refit_deterministic_across_partitioning(spark, corpus):
+    """Refitting on the SAME corpus with different physical layouts
+    must yield identical topic buckets (§4.4): the fit pins its own
+    content-hash layout and builds the vocabulary with a total order,
+    so neither AQE nor tie-breaking can permute the feature space.
+    (Cross-session + cross-parallelism reproducibility verified in
+    the scaling protocol; this pins the in-process invariant.)"""
+    def fit_buckets(df):
+        tm = TopicModel.fit(spark, df, "context", k=4, min_df=1, max_iter=25)
+        vec = tm.transform(corpus, "context", "topic_vec")
+        return sorted(map(tuple, tm.bucket_keys(vec).collect()))
+
+    a = fit_buckets(corpus.repartition(17))
+    b = fit_buckets(corpus.repartition(2).sortWithinPartitions("mention_id"))
+    assert a == b
