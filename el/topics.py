@@ -10,12 +10,16 @@ never leaks past this module, SURVEY.md §1.2) and a block key
 topics land in different buckets, and the ``cos_topic`` scoring
 feature separates them even when they collide in a name block.
 
-Determinism across cluster sizes (SURVEY.md §4.4): LDA's online
-optimizer subsamples per partition, so *refitting* at a different
-parallelism can drift. The model is therefore a persisted artifact —
-``fit`` once, ``save``, and every production run ``load``s it; the
-bench protocol fits one model and reuses it at both parallelism
-levels. Tests that fit per-run pin seed + a single session.
+Determinism across cluster sizes (SURVEY.md §4.4): refitting is now
+itself deterministic — the fit pins a content-hash input layout
+(fixed partition count + per-partition sort, so the online LDA
+optimizer's per-partition subsampling sees the same stream anywhere)
+and installs a totally-ordered vocabulary (df desc, term asc; the
+stock CountVectorizer breaks count ties in aggregation order, which
+permuted the feature space between sessions). Measured: identical
+topic buckets across fresh sessions at local[8] and local[32].
+Persisted fit-once artifacts remain the production path (cheaper
+than refitting; model is an input, not per-run state).
 """
 
 from __future__ import annotations
@@ -28,13 +32,12 @@ from pyspark.sql import functions as F
 from el.schemas import BLOCK_KEYS
 
 
-def _stages():
-    from pyspark.ml.feature import CountVectorizer, RegexTokenizer
+def _tokenizer():
+    from pyspark.ml.feature import RegexTokenizer
 
-    tok = RegexTokenizer(
+    return RegexTokenizer(
         inputCol="__text", outputCol="__toks", pattern="[^a-z0-9]+", toLowercase=True
     )
-    return tok, CountVectorizer
 
 
 @dataclass
@@ -59,7 +62,7 @@ class TopicModel:
     ) -> "TopicModel":
         from pyspark.ml.clustering import LDA
 
-        tok, CountVectorizer = _stages()
+        tok = _tokenizer()
         docs = (
             df.select(F.col(text_col).alias("__text"))
             .where(F.col("__text").isNotNull())
@@ -110,7 +113,6 @@ class TopicModel:
             .limit(vocab_size)
         )
         vocab = [r["t"] for r in df_counts.collect()]
-        _ = CountVectorizer  # API parity anchor (semantics mirrored above)
         cv = CountVectorizerModel.from_vocabulary(
             vocab, inputCol="__toks", outputCol="__tf"
         )
@@ -168,7 +170,7 @@ class TopicModel:
         from pyspark.ml.clustering import LocalLDAModel
         from pyspark.ml.feature import CountVectorizerModel
 
-        tok, _ = _stages()
+        tok = _tokenizer()
         cv = CountVectorizerModel.load(f"{path}/cv")
         lda = LocalLDAModel.load(f"{path}/lda")
         return cls(tok, cv, lda, lda.getK())
