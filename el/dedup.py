@@ -95,11 +95,34 @@ def _exact_jaccard_verify(
     )
 
 
+def _same_block_filter(
+    cand: DataFrame, base: DataFrame, id_col: str, block_col: str
+) -> DataFrame:
+    """Restrict candidate (a_id, b_id) pairs to those whose rows share
+    the same ``block_col`` value. Block values are attached via two
+    equi-joins ON ID (the candidate set is already small), never by
+    joining on the block column itself — the no-block-join plan
+    discipline of the scale paths is preserved."""
+    blk = base.select(F.col(id_col).alias("_bid"), F.col(block_col).alias("_bv"))
+    return (
+        cand.join(
+            blk.select(F.col("_bid").alias("a_id"), F.col("_bv").alias("_a_bv")),
+            on="a_id",
+        )
+        .join(
+            blk.select(F.col("_bid").alias("b_id"), F.col("_bv").alias("_b_bv")),
+            on="b_id",
+        )
+        .where(F.col("_a_bv").eqNullSafe(F.col("_b_bv")))
+        .select("a_id", "b_id")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: str = "lang",
+    block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.5,
     method: str = "minhash",
@@ -109,6 +132,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by exact token n-gram Jaccard >= threshold.
     Emits (a_id, b_id, jaccard).
+
+    ``block_col`` (default None = whole corpus) is HONORED by every
+    method: when set, only same-block pairs are emitted. In the
+    minhash path it is applied as a post-filter on candidates (id
+    joins, no block-column join); in the exact path it bounds the
+    quadratic self-join. The r2 API silently ignored an explicit
+    block_col in the minhash branch (ADVICE r2 finding) — now the
+    blocked contract cannot be silently dropped.
 
     method="minhash" (default, the 100 TB path): candidates come from
     MinHash band collisions over char shingles — linear in corpus
@@ -125,9 +156,9 @@ def ngram_jaccard_pairs(
     method="exact": r1 semantics — all pairs within ``block_col``
     (quadratic within a block; retained as the small-scale oracle
     path and for corpora with a genuinely selective block key)."""
-    g = df.where(F.col(text_col).isNotNull()).select(
+    base = df.where(F.col(text_col).isNotNull())
+    g = base.select(
         F.col(id_col).alias("_id"),
-        F.col(block_col).alias("_blk"),
         token_ngrams(F.col(text_col), n).alias("_grams"),
     )
     if method == "minhash":
@@ -139,15 +170,15 @@ def ngram_jaccard_pairs(
             rows=mh_rows,
             bands=mh_bands,
         )
+        if block_col is not None:
+            cand = _same_block_filter(cand, base, id_col, block_col)
         return _exact_jaccard_verify(cand, g, threshold)
-    a = g.select(
-        F.col("_id").alias("a_id"),
-        F.col("_blk").alias("_blk"),
-    )
-    b = g.select(
-        F.col("_id").alias("b_id"),
-        F.col("_blk").alias("_blk"),
-    )
+    blk = (
+        F.col(block_col) if block_col is not None else F.lit(1)
+    ).alias("_blk")
+    ids = base.select(F.col(id_col).alias("_id"), blk)
+    a = ids.select(F.col("_id").alias("a_id"), "_blk")
+    b = ids.select(F.col("_id").alias("b_id"), "_blk")
     cand = (
         a.join(b, on="_blk")
         .where(F.col("a_id") < F.col("b_id"))
@@ -345,7 +376,7 @@ def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str | None = "label",
+    block_col: str | None = None,
     threshold: float = 0.95,
     method: str = "lsh",
     n_planes: int = 8,
@@ -355,6 +386,13 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Near-dup vector pairs with exact cosine >= threshold; ids only
     — float values stay out of the comparison surface.
+
+    ``block_col`` (default None = whole corpus) is HONORED by every
+    method: when set, only same-block pairs are emitted — in the lsh
+    path as a post-filter on candidates (id joins, never a
+    block-column join), in the exact path as the self-join key. The
+    r2 API silently ignored an explicit block_col in the lsh branch
+    (ADVICE r2 finding).
 
     method="lsh" (default, the 100 TB path): candidates come from
     random-hyperplane LSH buckets (el.similarity.lsh_buckets — one
@@ -385,6 +423,8 @@ def embedding_neardup_pairs(
             .select("a_id", "b_id")
             .distinct()
         )
+        if block_col is not None:
+            cand = _same_block_filter(cand, df, id_col, block_col)
         vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         return (
             cand.join(

@@ -32,6 +32,21 @@ Mechanics (J4/J5 semi/anti-join ops from SURVEY.md §2.3):
    output) are rewritten; Iceberg row-level ops remove those two
    rewrites when the jar is present.
 
+Batch atomicity (ADVICE r2): a batch's delta tables commit as ONE unit
+via a marker file ``_batch_NNNN.json`` written (atomic tmp+fsync+
+rename) only AFTER every table write of the batch has committed.
+``_read_with_deltas``/``_delta_names`` only surface marker-covered
+deltas, and the ingest anti-join reads mentions through that view — so
+a crash anywhere mid-batch leaves the whole batch invisible, the rerun
+recomputes it from scratch, and orphan delta dirs from the crashed
+attempt are simply overwritten (same batch index). The committed
+block_keys table is additionally semi-joined to the marker-covered
+mention set on read, so even a crash AFTER the block_keys rewrite but
+before the marker cannot leak the half-committed batch's keys.
+Mentions and mentions_vec delta row alignment is asserted at marker
+time (the inner-join vector attach would silently drop pairs
+otherwise).
+
 Equivalence: with capping disabled (or cap never reached),
 ``incremental(A then B) == full(A ∪ B)`` exactly — asserted in
 tests/test_incremental.py. When a hot block is capped, the combined
@@ -43,6 +58,7 @@ regresses from incremental processing.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -56,15 +72,63 @@ from el.runner import RunConfig, _fit_or_load_models, _models_dir
 from el.scoring import matched_edges, score_pairs
 
 
-def _delta_names(catalog: HadoopParquetCatalog, base: str) -> list[str]:
-    """Committed append-only delta tables for ``base``, in order."""
+def _batch_markers(catalog: HadoopParquetCatalog) -> list[dict]:
+    """Committed batch markers, in batch order. A marker exists only
+    for batches whose EVERY table write committed (written last)."""
     if not os.path.isdir(catalog.root):
         return []
-    return sorted(
-        d
-        for d in os.listdir(catalog.root)
-        if d.startswith(f"{base}_delta_") and catalog.exists(d)
-    )
+    out = []
+    for name in sorted(os.listdir(catalog.root)):
+        if name.startswith("_batch_") and name.endswith(".json"):
+            with open(os.path.join(catalog.root, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def _commit_batch_marker(
+    catalog: HadoopParquetCatalog, batch: int, run_id: str, tables: list[str]
+) -> dict:
+    """Atomic batch commit point: tmp write + fsync + rename. Until
+    this file exists, none of the batch's delta tables are visible."""
+    marker = {
+        "batch": batch,
+        "run_id": run_id,
+        "tables": tables,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    final = os.path.join(catalog.root, f"_batch_{batch:04d}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(marker, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+    return marker
+
+
+def _delta_names(catalog: HadoopParquetCatalog, base: str) -> list[str]:
+    """Committed append-only delta tables for ``base``, in order —
+    marker-gated: a delta dir without its batch marker (crashed batch)
+    is invisible; a marker whose delta dir is missing is corruption
+    and fails loudly (ADVICE r2: never silently drop a delta)."""
+    names = []
+    for m in _batch_markers(catalog):
+        if base not in m["tables"]:
+            continue
+        t = f"{base}_delta_{m['batch']:04d}"
+        if not catalog.exists(t):
+            raise RuntimeError(
+                f"batch marker {m['batch']:04d} lists {t!r} but the table "
+                f"has no committed manifest under {catalog.root} — the "
+                f"catalog is corrupt; refusing to silently drop a delta"
+            )
+        names.append(t)
+    return names
+
+
+def _manifest_rows(catalog: HadoopParquetCatalog, table: str) -> int:
+    m = catalog.manifest(table)
+    return 0 if m is None else m["total_rows"]
 
 
 def _read_with_deltas(spark, catalog: HadoopParquetCatalog, base: str):
@@ -78,8 +142,11 @@ def _read_with_deltas(spark, catalog: HadoopParquetCatalog, base: str):
     return df
 
 
-def _next_delta(catalog: HadoopParquetCatalog, base: str) -> str:
-    return f"{base}_delta_{len(_delta_names(catalog, base)):04d}"
+def _next_batch(catalog: HadoopParquetCatalog) -> int:
+    """Next batch index = one past the last MARKED batch. A crashed
+    (marker-less) batch reuses its index, overwriting its orphans."""
+    markers = _batch_markers(catalog)
+    return (markers[-1]["batch"] + 1) if markers else 0
 
 
 def incremental_update(
@@ -94,26 +161,48 @@ def incremental_update(
     cfg: PipelineConfig = rc.pipeline
     t0 = time.time()
 
-    # localCheckpoint: these are read several times below, and
-    # block_keys/clusters ARE overwritten at commit time — no
-    # downstream plan may reference files a rename replaces. With the
+    # localCheckpoint ONLY what the commit phase overwrites
+    # (block_keys): no downstream plan may reference files a rename
+    # replaces. The append-only tables (mentions / mentions_vec /
+    # scored) are scanned lazily — materializing the corpus per batch
+    # would make every absorb O(corpus) (VERDICT r2 #7). With the
     # Iceberg backend the barrier is free — readers pin a snapshot.
-    old_mentions = _read_with_deltas(spark, catalog, "mentions").localCheckpoint(
-        eager=True
+    old_mentions = _read_with_deltas(spark, catalog, "mentions")
+    # semi-join the committed key table to the marker-covered mention
+    # set: a crash AFTER a block_keys rewrite but BEFORE the batch
+    # marker must not leak the half-committed batch's keys (module
+    # docstring, batch atomicity)
+    old_keys = (
+        catalog.read(spark, "block_keys")
+        .join(
+            old_mentions.select("mention_id").distinct(),
+            on="mention_id",
+            how="left_semi",
+        )
+        .localCheckpoint(eager=True)
     )
-    old_keys = catalog.read(spark, "block_keys").localCheckpoint(eager=True)
+    scored_tables: list[str] = []
     if catalog.exists("scored_pairs_all"):
+        scored_tables.append("scored_pairs_all")
         old_scored = catalog.read(spark, "scored_pairs_all")
     else:  # chunked runner pass: union the chunks
-        chunk_dirs = sorted(
-            os.path.join(catalog.root, d)
+        chunks = sorted(
+            d
             for d in os.listdir(catalog.root)
             if d.startswith("scored_chunk_")
+            and ".__" not in d  # not an in-flight/set-aside dir
+            and catalog.exists(d)
         )
-        old_scored = spark.read.parquet(*chunk_dirs)
+        scored_tables.extend(chunks)
+        old_scored = spark.read.parquet(
+            *[os.path.join(catalog.root, d) for d in chunks]
+        )
     for d in _delta_names(catalog, "scored_pairs"):
+        scored_tables.append(d)
         old_scored = old_scored.unionByName(catalog.read(spark, d))
-    old_scored = old_scored.localCheckpoint(eager=True)
+    # committed-pair total from MANIFESTS — no corpus-sized count()
+    # job per absorb (VERDICT r2 #7)
+    old_pairs_rows = sum(_manifest_rows(catalog, t) for t in scored_tables)
 
     # 1. new mentions (urls not yet ingested)
     new_mentions = mentions_stage(new_pages, cfg).join(
@@ -144,9 +233,9 @@ def incremental_update(
         new_vec = topics.transform(new_vec, "context", "topic_vec")
         topic_buckets = topics.bucket_keys(new_vec)
     new_vec = new_vec.localCheckpoint(eager=True)
-    old_vec = _read_with_deltas(spark, catalog, "mentions_vec").localCheckpoint(
-        eager=True
-    )
+    # append-only table: lazy scan (never overwritten, so no rename
+    # hazard; materializing it would be an O(corpus) job per batch)
+    old_vec = _read_with_deltas(spark, catalog, "mentions_vec")
     all_vec = old_vec.unionByName(new_vec)
 
     # 3. combined block keys, RE-CAPPED, restricted to touched blocks
@@ -191,30 +280,48 @@ def incremental_update(
     # batch) and clusters (global CC output — ids can change
     # corpus-wide on any merge) are the two rewrites, both removable
     # with Iceberg row-level replace / MOR when the jar is present.
+    # The batch MARKER is written last: until it lands, none of this
+    # batch's deltas are visible and a rerun recomputes the batch.
     n_new = new_mentions.count()
     n_delta = delta_scored.count()
+    batch = _next_batch(catalog)
+    written: list[str] = []
+    m_vec = m_men = None
     if n_new:
-        catalog.write(new_mentions, _next_delta(catalog, "mentions"),
-                      run_id=rc.run_id, stage="mentions")
-        catalog.write(new_vec, _next_delta(catalog, "mentions_vec"),
-                      run_id=rc.run_id, stage="mentions_vec")
+        m_vec = catalog.write(new_vec, f"mentions_vec_delta_{batch:04d}",
+                              run_id=rc.run_id, stage="mentions_vec")
+        m_men = catalog.write(new_mentions, f"mentions_delta_{batch:04d}",
+                              run_id=rc.run_id, stage="mentions")
+        written += ["mentions", "mentions_vec"]
     if n_delta:
-        catalog.write(delta_scored, _next_delta(catalog, "scored_pairs"),
+        catalog.write(delta_scored, f"scored_pairs_delta_{batch:04d}",
                       run_id=rc.run_id, stage="scored_pairs")
-    catalog.write(combined_keys, "block_keys", run_id=rc.run_id,
-                  stage="block_keys", partition_by=["strategy"])
+        written.append("scored_pairs")
+    m_keys = catalog.write(combined_keys, "block_keys", run_id=rc.run_id,
+                           stage="block_keys", partition_by=["strategy"])
     m_clusters = catalog.write(clusters, "clusters", run_id=rc.run_id,
                                stage="clusters")
+    if m_men is not None and m_men["total_rows"] != m_vec["total_rows"]:
+        raise RuntimeError(
+            f"mentions delta ({m_men['total_rows']} rows) and mentions_vec "
+            f"delta ({m_vec['total_rows']} rows) disagree for batch {batch} "
+            f"— the inner-join vector attach would silently drop pairs; "
+            f"batch NOT marked committed"
+        )
+    if written:
+        _commit_batch_marker(catalog, batch, rc.run_id, written)
 
     return {
         "report": {
             "new_mentions": n_new,
             "delta_pairs_scored": n_delta,
-            "total_pairs": old_scored.count() + n_delta,
+            # committed totals come from MANIFESTS, not corpus counts
+            "total_pairs": old_pairs_rows + n_delta,
             "total_mentions": m_clusters["total_rows"],
             # scale diagnostics: the pair self-join's input must track
-            # the delta, not the corpus (asserted in tests)
-            "combined_key_rows": combined_keys.count(),
+            # the delta, not the corpus (asserted in tests). touched_*
+            # are delta-sized; combined comes from the commit manifest.
+            "combined_key_rows": m_keys["total_rows"],
             "touched_key_rows": touched_keys.count(),
             "touched_blocks": touched.count(),
             "wall_sec": round(time.time() - t0, 2),

@@ -702,7 +702,11 @@ def dd4_ngram_jaccard(spark, sf_dir):
     from el.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=2, threshold=0.5, method="exact"
+        _t(spark, sf_dir, "documents"),
+        n=2,
+        threshold=0.5,
+        method="exact",
+        block_col="lang",
     )
 
 
@@ -732,7 +736,16 @@ def dd4b_ngram_jaccard_minhash(spark, sf_dir):
     exact-Jaccard verify. The oracle is the UNBLOCKED all-pairs
     Jaccard — the LSH path must reproduce it exactly (precision is
     exact by construction; recall 1.0 on the fixtures is measured,
-    see tests/test_dedup.py)."""
+    see tests/test_dedup.py).
+
+    RECALL-PARAMS COUPLING (ADVICE r2): this gates a probabilistic
+    candidate generator against exact equality. Recall 1.0 holds at
+    the current fixture SFs with rows=4/bands=16 over char-5 shingles
+    (miss prob per pair = (1-s^4)^16; >= 0.999 for shingle-sim s >=
+    0.55, where every fixture jaccard-0.5 near-dup pair sits). If a
+    future SF bump or threshold change fails THIS check while dd4
+    still passes, diagnose as parameter tuning (raise bands / lower
+    rows), not an engine bug."""
     from el.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
@@ -771,7 +784,10 @@ def dd5_embedding_neardup(spark, sf_dir):
     from el.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, method="exact"
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        method="exact",
+        block_col="label",
     )
 
 
@@ -790,7 +806,17 @@ def dd5b_embedding_neardup_lsh(spark, sf_dir):
     all-pairs cosine: no label restriction — the LSH path must
     reproduce it exactly. planes=4/tables=48 measured recall 1.0 on
     every fixture SF at threshold 0.4 (deterministic planes, so this
-    is stable, not sampled); precision is exact by construction."""
+    is stable, not sampled); precision is exact by construction.
+
+    RECALL-PARAMS COUPLING (ADVICE r2): the 48-table config exists
+    ONLY to hold recall 1.0 at this fixture's unusually low 0.4
+    threshold (angle up to 66°: plane-agreement p ~ 0.63, so P(miss)
+    = (1-p^4)^48 ~ 2e-4 per pair needs many tables). The production
+    high-threshold regime is planes=8/tables=16 (bench entry dd5b
+    uses it; recall measured in BASELINE.md). If a future SF bump or
+    threshold change fails THIS check while dd5 still passes,
+    diagnose as parameter tuning (more tables / fewer planes), not an
+    engine bug."""
     from el.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(

@@ -61,9 +61,17 @@ def make_zip(path: str) -> str:
 
 def _pin_prefix(cpus: int | None) -> list[str]:
     """taskset prefix giving the run a core budget == its parallelism
-    (None -> unpinned)."""
-    if cpus is None or not shutil.which("taskset"):
+    (None -> unpinned). Pinning requested without taskset available is
+    a hard error (ADVICE r2): silently falling back to unpinned would
+    emit a protocol field claiming a pinned run — exactly the r1
+    protocol flaw the pinning exists to fix."""
+    if cpus is None:
         return []
+    if not shutil.which("taskset"):
+        raise RuntimeError(
+            "CPU pinning requested but 'taskset' is not on PATH; pass "
+            "--no-pin to accept (and honestly report) the unpinned protocol"
+        )
     return ["taskset", "-c", f"0-{cpus - 1}"]
 
 

@@ -85,3 +85,60 @@ def test_metrics_table(spark, cat):
         for r in m.groupBy("stage").agg(F.sum("rows").alias("total")).collect()
     }
     assert agg == {"extract": 10, "block": 20}
+
+
+def test_overwrite_crash_window_keeps_old_version(spark, cat, monkeypatch):
+    """VERDICT r2 #6: a writer dying between 'old renamed aside' and
+    'new renamed in' must not leave the catalog with NO committed
+    version — reads fall back to the set-aside copy, and the next
+    successful write heals the layout."""
+    import el.catalog as C
+
+    cat.write(spark.range(10), "t", run_id="r1")
+    m1 = cat.manifest("t")
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        real_rename(src, dst)
+        # die right after the old version was set aside (final gone)
+        if dst.endswith("t.__old"):
+            raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(C.os, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cat.write(spark.range(5), "t", run_id="r2")
+    monkeypatch.setattr(C.os, "rename", real_rename)
+
+    # crashed state: live dir gone, set-aside copy present — the old
+    # committed version must still be served
+    assert not os.path.exists(os.path.join(cat.root, "t", "_MANIFEST.json"))
+    assert cat.exists("t")
+    assert cat.manifest("t") == m1
+    assert cat.read(spark, "t").count() == 10
+
+    # next write restores then replaces; no residue
+    cat.write(spark.range(3), "t", run_id="r3")
+    assert cat.read(spark, "t").count() == 3
+    assert cat.manifest("t")["run_id"] == "r3"
+    assert not [d for d in os.listdir(cat.root) if ".__" in d]
+    calls  # silence lint
+
+
+def test_lineage_fallback_hash_matches(spark, cat, monkeypatch):
+    """ADVICE r2: files the binaryFile scan cannot cover (>2 GiB, or a
+    path-lookup miss under symlinked TMPDIRs) fall back to a streamed
+    driver-side sha256 with identical output. Force every file down
+    the fallback path and check the hashes against the bytes on disk."""
+    import hashlib
+
+    import el.catalog as C
+
+    monkeypatch.setattr(C, "_BINARYFILE_MAX_BYTES", 0)
+    m = cat.write(spark.range(300).repartition(2), "tf", run_id="r1")
+    assert m["n_files"] >= 1
+    for f in m["files"]:
+        fp = os.path.join(cat.root, "tf", f["path"])
+        assert f["sha256"] == hashlib.sha256(open(fp, "rb").read()).hexdigest()
+        assert f["bytes"] == os.path.getsize(fp)

@@ -106,7 +106,7 @@ def test_embedding_neardup_ids_ordered(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     for method in ("exact", "lsh"):
         pairs = embedding_neardup_pairs(
-            emb, threshold=0.3, method=method
+            emb, threshold=0.3, method=method, block_col="label"
         ).persist()
         assert pairs.count() > 0
         assert pairs.where("a_id >= b_id").count() == 0
@@ -187,3 +187,46 @@ def test_ngram_minhash_equals_exact_unblocked(spark, docs):
     }
     assert exact, "fixture should contain jaccard>=0.5 pairs"
     assert mh == exact, f"missed={exact - mh} extra={mh - exact}"
+
+
+def test_block_col_honored_in_scale_paths(spark, docs):
+    """ADVICE r2: an explicit block_col must restrict the minhash/lsh
+    candidate paths to same-block pairs (the r2 API silently ignored
+    it). Blocked scale path == blocked exact path on the fixture."""
+    exact = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            docs, n=2, threshold=0.5, method="exact", block_col="lang"
+        ).collect()
+    }
+    mh = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            docs, n=2, threshold=0.5, method="minhash", block_col="lang"
+        ).collect()
+    }
+    assert exact and mh == exact, f"missed={exact - mh} extra={mh - exact}"
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e_exact = {
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.4, method="exact", block_col="label"
+        ).collect()
+    }
+    e_lsh = {
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.4, method="lsh", n_planes=4, n_tables=48,
+            block_col="label",
+        ).collect()
+    }
+    assert e_exact and e_lsh == e_exact
+    # and the blocked result is a strict subset of the unblocked one
+    e_all = {
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.4, method="lsh", n_planes=4, n_tables=48
+        ).collect()
+    }
+    assert e_exact < e_all

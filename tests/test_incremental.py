@@ -165,3 +165,69 @@ def test_incremental_recaps_hot_blocks(spark, tmp_path_factory):
     )
     worst = sizes.agg(F2.max("n")).collect()[0][0]
     assert worst <= cap_rc.pipeline.cap_k, f"hot block grew to {worst}"
+
+
+def test_incremental_crash_between_delta_writes_heals(
+    spark, tmp_path_factory, rc, monkeypatch
+):
+    """ADVICE r2: a crash between a batch's two delta writes must not
+    leave a permanent mentions/mentions_vec gap. The batch marker is
+    written only after every table commit, so the crashed batch is
+    invisible to the rerun, which recomputes it; the healed state
+    matches a full run over the combined corpus."""
+    all_pages = gen_web_pages(spark, N_ALL).localCheckpoint()
+    split = F.pmod(F.xxhash64("url"), F.lit(10)) < 7
+    batch1, batch2 = all_pages.where(split), all_pages.where(~split)
+
+    mdir = str(tmp_path_factory.mktemp("models_cr"))
+    cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("crash")))
+    rc_inc = RunConfig(
+        run_id="inc", n_score_chunks=2, pipeline=rc.pipeline, model_dir=mdir
+    )
+    run_checkpointed(spark, batch1, cat, rc_inc, resume=False)
+
+    real_write = cat.write
+
+    def dying_write(df, table, **kw):
+        # vec delta committed, then die before the mentions delta
+        if table.startswith("mentions_delta_"):
+            raise RuntimeError("simulated crash between delta writes")
+        return real_write(df, table, **kw)
+
+    monkeypatch.setattr(cat, "write", dying_write)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        incremental_update(spark, batch2, cat, rc_inc)
+    monkeypatch.undo()
+
+    # crashed state: orphan vec delta exists, no marker -> invisible
+    from el.incremental import _batch_markers, _delta_names, _read_with_deltas
+
+    assert cat.exists("mentions_vec_delta_0000")
+    assert not _batch_markers(cat)
+    assert _delta_names(cat, "mentions_vec") == []
+
+    # rerun absorbs the batch from scratch (urls NOT seen as ingested)
+    out = incremental_update(spark, batch2, cat, rc_inc)
+    assert out["report"]["new_mentions"] > 0
+    markers = _batch_markers(cat)
+    assert [m["batch"] for m in markers] == [0]
+
+    # healed result == full run over the combined corpus
+    full_cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("crash_full")))
+    rc_full = RunConfig(
+        run_id="full", n_score_chunks=2, pipeline=rc.pipeline, model_dir=mdir
+    )
+    full = run_checkpointed(
+        spark, batch1.unionByName(batch2), full_cat, rc_full, resume=False
+    )
+    inc_rows = sorted(
+        map(tuple, out["clusters"].select("mention_id", "cluster_id").collect())
+    )
+    full_rows = sorted(
+        map(tuple,
+            full["clusters"].select("mention_id", "cluster_id").collect())
+    )
+    assert inc_rows == full_rows
+    # merged view has each mention exactly once (no orphan double-count)
+    men = _read_with_deltas(spark, cat, "mentions")
+    assert men.count() == men.select("mention_id").distinct().count()

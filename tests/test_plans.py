@@ -148,15 +148,24 @@ def test_centroid_jvm_uses_partial_aggregation(spark):
 
 
 def test_no_cartesian_in_blocked_dedup(spark):
-    """Both ngram_jaccard_pairs paths must stay equi-joins — the
-    exact path on the block col, the minhash path on the band key."""
+    """Every blocked/banded ngram_jaccard_pairs plan must stay
+    equi-joins — the exact path on the block col, the minhash path on
+    the band key, and the blocked minhash path's same-block post-
+    filter attaches block values by ID join, never a block join.
+    (exact + block_col=None is BY DESIGN the quadratic all-pairs
+    baseline, so it is not audited here.)"""
     from el.dedup import ngram_jaccard_pairs
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
-    for method in ("exact", "minhash"):
-        plan = _plan(ngram_jaccard_pairs(d, n=2, threshold=0.5, method=method))
-        assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+    audited = [
+        dict(method="exact", block_col="lang"),
+        dict(method="minhash"),
+        dict(method="minhash", block_col="lang"),
+    ]
+    for kw in audited:
+        plan = _plan(ngram_jaccard_pairs(d, n=2, threshold=0.5, **kw))
+        assert "CartesianProduct" not in plan, kw
+        assert "BroadcastNestedLoopJoin" not in plan, kw
 
 
 def test_neardup_scale_paths_never_join_on_block_col(spark):
