@@ -99,10 +99,15 @@ def run_pipeline(
     pages: DataFrame,
     cfg: PipelineConfig | None = None,
     tfidf_model: TfidfModel | None = None,
+    topic_model=None,
+    mentions: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full batch run; returns every stage table (lazily defined,
-    caller materializes/commits). tfidf_model: pass a persisted model
-    for cross-run determinism; None -> fit on this corpus (tests)."""
+    caller materializes/commits). tfidf_model/topic_model: pass
+    persisted models for cross-run determinism AND to measure the
+    production fit-once path (None -> fit on this corpus — tests and
+    first runs). mentions: pass the already-materialized extract
+    output to skip re-extraction (bench stage attribution)."""
     cfg = cfg or PipelineConfig()
 
     # Materialization barrier. localCheckpoint, NOT persist(): building
@@ -113,7 +118,8 @@ def run_pipeline(
     # materializes the same partitions in ~2s and also cuts lineage.
     # In production runs the real barrier is the catalog commit
     # (parquet write) between stages, not executor-local blocks.
-    mentions = mentions_stage(pages, cfg).localCheckpoint(eager=True)
+    if mentions is None:
+        mentions = mentions_stage(pages, cfg).localCheckpoint(eager=True)
     # degenerate corpus (nothing survived the lang/null gates): the
     # relational stages all handle empty inputs, but ml fits do not
     has_mentions = not mentions.isEmpty()
@@ -128,7 +134,7 @@ def run_pipeline(
         try:
             from el.topics import TopicModel
 
-            tm = TopicModel.fit(
+            tm = topic_model or TopicModel.fit(
                 spark,
                 mentions,
                 "context",

@@ -1010,10 +1010,13 @@ def mm1_blob_meta(spark, sf_dir):
 
 @check("mm2_blob_features", oracle=None)
 def mm2_blob_features(spark, sf_dir):
-    from el.multimodal import feature_stub, gen_blobs
+    """Decode -> feature-extract end-to-end: the synthetic IMG1 decode
+    is real (pure-numpy pixel tiling per the format spec); only real
+    codec formats remain env-blocked (el.multimodal docstring)."""
+    from el.multimodal import gen_blobs, image_features
 
-    return feature_stub(gen_blobs(spark, 200)).select(
-        "blob_id", F.size("features").alias("dim")
+    return image_features(gen_blobs(spark, 200)).select(
+        "blob_id", F.size("features").alias("dim"), "decoded"
     )
 
 

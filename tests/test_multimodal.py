@@ -49,6 +49,58 @@ def test_feature_stub_shape(spark):
     feats.unpersist()
 
 
-def test_decode_is_an_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        decode_pixels(b"IMG1....")
+def test_decode_pixels_matches_format_spec():
+    """IMG1 decode: payload tiled row-major; pure-python reference."""
+    import struct
+
+    import numpy as np
+
+    payload = bytes(range(7))
+    content = b"IMG1" + struct.pack("<II", 5, 3) + payload
+    px = decode_pixels(content)
+    assert px.shape == (3, 5) and px.dtype == np.uint8
+    for r in range(3):
+        for c in range(5):
+            assert px[r, c] == payload[(r * 5 + c) % len(payload)]
+
+
+def test_decode_malformed_raises_value_error():
+    import struct
+
+    with pytest.raises(ValueError):
+        decode_pixels(b"IMG1....")  # header too short
+    with pytest.raises(ValueError):
+        decode_pixels(b"NOPE" + b"\x00" * 20)  # bad magic
+    with pytest.raises(ValueError):
+        decode_pixels(b"IMG1" + struct.pack("<II", 4, 4))  # no payload
+    from el.multimodal import decode_pixels_codec
+
+    with pytest.raises(NotImplementedError):  # real codecs env-blocked
+        decode_pixels_codec(b"\xff\xd8\xff")
+
+
+def test_image_features_end_to_end(spark):
+    """mm2 path: decode -> histogram features; distributions sum to 1,
+    malformed blobs flagged not fatal, deterministic across runs."""
+    from el.multimodal import image_features
+
+    blobs = gen_blobs(spark, 30)
+    bad = spark.createDataFrame(
+        [(999, "image", bytearray(b"NOPE"))],
+        "blob_id long, media_type string, content binary",
+    )
+    feats = image_features(blobs.unionByName(bad)).persist()
+    assert feats.count() == 31
+    assert feats.where("NOT decoded").count() == 1
+    sums = feats.where("decoded").select(
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias("s")
+    )
+    assert sums.where(F.abs(F.col("s") - 1.0) > 1e-3).count() == 0
+    again = sorted(map(tuple, image_features(gen_blobs(spark, 30)).collect()))
+    prev = sorted(
+        map(tuple, feats.where("decoded").drop("decoded").collect())
+    )
+    assert [(r[0], list(r[1])) for r in again] == [
+        (r[0], list(r[1])) for r in prev
+    ]
+    feats.unpersist()
