@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from el.hashing import fnv1a_tokens, splitmix64
+from el.io import scatter_small
 from el.minhash import lsh_band_keys
 from el.textops import tokens_of
 
@@ -81,6 +82,13 @@ def _exact_jaccard_verify(
     inter = F.size(F.array_intersect("a_grams", "b_grams")).cast("double")
     union = F.size(F.array_union("a_grams", "b_grams")).cast("double")
     jac = inter / F.greatest(union, F.lit(1.0))
+    # Exact size-ratio prune BEFORE the intersect/union work:
+    # J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= t requires
+    # t*|B| <= |A| and t*|A| <= |B|. Boilerplate-driven band
+    # collisions between different-length docs die on two int
+    # comparisons instead of an array intersection.
+    na = F.size("a_grams").cast("double")
+    nb = F.size("b_grams").cast("double")
     return (
         cand.join(
             grams.select(F.col("_id").alias("a_id"), F.col("_grams").alias("a_grams")),
@@ -90,6 +98,7 @@ def _exact_jaccard_verify(
             grams.select(F.col("_id").alias("b_id"), F.col("_grams").alias("b_grams")),
             on="b_id",
         )
+        .where((na >= threshold * nb) & (nb >= threshold * na))
         .select("a_id", "b_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -157,7 +166,9 @@ def ngram_jaccard_pairs(
     (quadratic within a block; retained as the small-scale oracle
     path and for corpora with a genuinely selective block key)."""
     base = df.where(F.col(text_col).isNotNull())
-    g = base.select(
+    # gram arrays are computed per doc ONCE; scatter so the (JVM but
+    # single-split) gram build and the verify joins use every core
+    g = scatter_small(base).select(
         F.col(id_col).alias("_id"),
         token_ngrams(F.col(text_col), n).alias("_grams"),
     )
@@ -202,10 +213,12 @@ def minhash_lsh_pairs(
     el.minhash kernel): shingle -> minhash -> band -> bucket equi-join.
     Linear in corpus size; collision prob 1-(1-s^rows)^bands."""
     keyed = lsh_band_keys(
-        df.select(
-            F.col(id_col).alias("mention_id"),
-            F.col(id_col).cast("string").alias("url"),
-            F.col(text_col).alias("context"),
+        scatter_small(
+            df.select(
+                F.col(id_col).alias("mention_id"),
+                F.col(id_col).cast("string").alias("url"),
+                F.col(text_col).alias("context"),
+            )
         ),
         shingle_k=shingle_k,
         rows=rows,
@@ -287,7 +300,7 @@ def simhash_batch(texts: list) -> np.ndarray:
 
 def simhash_col(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash) via a vectorized mapInPandas kernel."""
-    cols = df.select(id_col, text_col)
+    cols = scatter_small(df.select(id_col, text_col))
 
     def gen(batches):
         for pdf in batches:

@@ -101,6 +101,8 @@ def lsh_buckets(
     """(id, bucket) rows — ``n_tables`` rows per id, one sign-pattern
     bucket per hash table (OR-of-ANDs construction: collide in ANY
     table => candidate; recall 1-(1-p^n_planes)^n_tables)."""
+    from el.io import scatter_small
+
     planes = hyperplanes(dim, n_planes * n_tables, seed)
     schema = T.StructType(
         [
@@ -108,7 +110,7 @@ def lsh_buckets(
             T.StructField("bucket", T.LongType(), False),
         ]
     )
-    return df.select(id_col, vec_col).mapInPandas(
+    return scatter_small(df.select(id_col, vec_col)).mapInPandas(
         _bucket_udf(planes, n_tables, vec_col, id_col), schema=schema
     )
 

@@ -169,7 +169,9 @@ def winnow_fingerprints(
     k: int = 8, window: int = 4,
 ) -> DataFrame:
     """(id, text) -> (id, fingerprints array<bigint>, n_fp)."""
-    cols = df.select(id_col, text_col)
+    from el.io import scatter_small
+
+    cols = scatter_small(df.select(id_col, text_col))
 
     def gen(batches):
         for pdf in batches:
