@@ -396,6 +396,7 @@ def embedding_neardup_pairs(
     n_tables: int = 16,
     seed: int = 11,
     dim: int = 64,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Near-dup vector pairs with exact cosine >= threshold; ids only
     — float values stay out of the comparison surface.
@@ -426,10 +427,22 @@ def embedding_neardup_pairs(
         buckets = lsh_buckets(
             df, n_planes, n_tables, seed, vec_col, id_col, dim
         )
+        # multi-probe (probe_bits=1): only ONE side of the self-join is
+        # probed — any pair within Hamming distance 1 of a table code
+        # collides, so the same recall needs far fewer tables while the
+        # plain side's row count stays n_tables per vector
+        b_side = (
+            lsh_buckets(
+                df, n_planes, n_tables, seed, vec_col, id_col, dim,
+                probe_bits=probe_bits,
+            )
+            if probe_bits
+            else buckets
+        )
         cand = (
             buckets.select(F.col(id_col).alias("a_id"), "bucket")
             .join(
-                buckets.select(F.col(id_col).alias("b_id"), "bucket"),
+                b_side.select(F.col(id_col).alias("b_id"), "bucket"),
                 on="bucket",
             )
             .where(F.col("a_id") < F.col("b_id"))

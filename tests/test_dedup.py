@@ -132,6 +132,16 @@ def test_embedding_lsh_equals_exact_unblocked(spark):
     }
     assert exact, "fixture should contain cosine>=0.4 pairs"
     assert lsh == exact, f"missed={exact - lsh} extra={lsh - exact}"
+    # multi-probe reaches the same recall with 6x fewer tables (the
+    # dd5b oracle config since r3): one probed join side, Hamming<=1
+    mp = {
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.4, method="lsh",
+            n_planes=3, n_tables=8, probe_bits=1,
+        ).collect()
+    }
+    assert mp == exact, f"missed={exact - mp} extra={mp - exact}"
 
 
 def test_embedding_lsh_finds_planted_neardups_high_threshold(spark):

@@ -59,3 +59,26 @@ def test_lsh_topk_recall_floor(spark, emb):
     for qid in {r.q_id for r in approx}:
         ranks = sorted(r.rank for r in approx if r.q_id == qid)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_lsh_topk_multiprobe_improves_recall(spark, emb):
+    """Multi-probe (probe_bits=1, query side only) must strictly
+    dominate the plain config's recall at identical table count —
+    the corpus-side bucket table (the scale cost) is unchanged."""
+    k = 10
+    q = emb.where("vec_id < 20")
+    exact = {(r.q_id, r.n_id) for r in brute_force_topk(emb, q, k=k).collect()}
+    plain = {
+        (r.q_id, r.n_id)
+        for r in lsh_topk(emb, q, k=k, n_planes=4, n_tables=8).collect()
+    }
+    probed = {
+        (r.q_id, r.n_id)
+        for r in lsh_topk(
+            emb, q, k=k, n_planes=4, n_tables=8, probe_bits=1
+        ).collect()
+    }
+    r_plain = len(exact & plain) / len(exact)
+    r_probed = len(exact & probed) / len(exact)
+    assert r_probed >= r_plain
+    assert r_probed >= 0.8, (r_plain, r_probed)
