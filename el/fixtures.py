@@ -75,11 +75,17 @@ def common_vocab(size: int = 30) -> list[str]:
     return [pseudo_word(20_000_000 + k) for k in range(size)]
 
 
-def build_universe(n_pages: int, seed: int = 42) -> dict:
+def build_universe(
+    n_pages: int, seed: int = 42, prefix_typo_p: float = 0.0
+) -> dict:
     """Entity universe: names, topics, collisions, hot ids.
 
-    Pure function of (n_pages, seed); small (O(E)) — broadcast to
-    executors via closure capture.
+    Pure function of (n_pages, seed, prefix_typo_p); small (O(E)) —
+    broadcast to executors via closure capture. prefix_typo_p > 0
+    selects the TYPO-HEAVY tier: surfaces additionally get vowel
+    substitutions INSIDE the 4-char prefix (soundex-invariant but
+    prefix4-breaking) with that probability — the tier where the
+    soundex blocking strategy is load-bearing, not just additive.
     """
     E = max(20, n_pages // 6)
     ids = np.arange(E, dtype=np.uint64)
@@ -102,6 +108,7 @@ def build_universe(n_pages: int, seed: int = 42) -> dict:
         "topic_vocabs": [topic_vocab(t) for t in range(N_TOPICS)],
         "common": common_vocab(),
         "seed": seed,
+        "prefix_typo_p": prefix_typo_p,
     }
 
 
@@ -156,11 +163,21 @@ def _url(owner: int, src: int) -> str:
     return f"https://src{src}.example.com/page/{owner:08d}"
 
 
-def _corrupt_surface(owner: int, slot: int, tokens: list[str], seed: int) -> str:
-    """Deterministic surface corruption; every token's first-4-char
-    prefix survives (typos land at position >= 4, abbreviation keeps
-    the first 4 chars), so name_token blocking recall holds by
-    construction."""
+def _corrupt_surface(
+    owner: int,
+    slot: int,
+    tokens: list[str],
+    seed: int,
+    prefix_typo_p: float = 0.0,
+) -> str:
+    """Deterministic surface corruption; in the default tier every
+    token's first-4-char prefix survives (typos land at position >= 4,
+    abbreviation keeps the first 4 chars), so name_token blocking
+    recall holds by construction. prefix_typo_p > 0 (typo-heavy tier)
+    additionally substitutes a vowel INSIDE the prefix (position 1 or
+    3 — names are CVCVCV syllables) with another vowel: the soundex
+    code is unchanged (vowels are skipped) while the prefix4 key
+    drifts, making soundex blocking load-bearing."""
     key = np.uint64(owner * 16 + slot)
 
     def u(salt: int) -> float:
@@ -170,6 +187,13 @@ def _corrupt_surface(owner: int, slot: int, tokens: list[str], seed: int) -> str
         return int(h64(np.array([key]), salt, seed)[0] % np.uint64(max(mod, 1)))
 
     toks = list(tokens)
+    if prefix_typo_p and u(210) < prefix_typo_p:
+        ti = h(211, len(toks))
+        t = toks[ti]
+        vpos = 1 + 2 * h(212, 2)  # char 1 or 3: a vowel by construction
+        if len(t) > vpos and t[vpos] in "aeiou":
+            alts = [v for v in "aeiou" if v != t[vpos]]
+            toks[ti] = t[:vpos] + alts[h(213, len(alts))] + t[vpos + 1 :]
     if len(toks) >= 3 and u(201) < 0.10:  # rotate (token reorder)
         toks = toks[1:] + toks[:1]
     if u(202) < 0.25:  # 1-char typo at position >= 4
@@ -224,10 +248,13 @@ def _page_text(owner: int, attrs_row: dict, uni: dict) -> str | None:
         else cv[int(fill_idx[i] % np.uint64(len(cv)))]
         for i in range(n_fill)
     ]
-    mentions = [_corrupt_surface(owner, 0, uni["names"][eid], seed)]
+    ppref = float(uni.get("prefix_typo_p", 0.0))
+    mentions = [_corrupt_surface(owner, 0, uni["names"][eid], seed, ppref)]
     for s in range(int(attrs_row["n_sec"])):
         se = _secondary_entity(owner, s + 1, eid, uni["E"], seed)
-        mentions.append(_corrupt_surface(owner, s + 1, uni["names"][se], seed))
+        mentions.append(
+            _corrupt_surface(owner, s + 1, uni["names"][se], seed, ppref)
+        )
     parts: list[str] = []
     w = iter(words)
     parts.append(" ".join(next(w) for _ in range(5)) + ".")
@@ -271,12 +298,14 @@ def gen_web_pages(
     n_pages: int,
     seed: int = 42,
     num_partitions: int | None = None,
+    prefix_typo_p: float = 0.0,
 ) -> DataFrame:
     """Distributed deterministic corpus: mapInPandas over spark.range.
 
     Every row is a pure function of its id — results are independent
-    of partition count (tested under local[8] vs local[32])."""
-    uni = build_universe(n_pages, seed)
+    of partition count (tested under local[8] vs local[32]).
+    prefix_typo_p selects the typo-heavy tier (build_universe)."""
+    uni = build_universe(n_pages, seed, prefix_typo_p)
     parts = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
 
     def gen(batches):

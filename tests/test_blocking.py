@@ -137,3 +137,28 @@ def test_pipeline_flag_enables_soundex_strategy(spark):
     keys, _ = block_stage(mentions, cfg)
     strategies = {r.strategy for r in keys.select("strategy").distinct().collect()}
     assert strategies == {"name_token", "soundex"}
+
+
+def test_soundex_load_bearing_on_typo_heavy_tier(spark):
+    """VERDICT r2 stretch: a fixture tier where soundex is DECISIVE,
+    not merely recall-additive. prefix_typo_p plants vowel typos
+    INSIDE the 4-char prefix (soundex-invariant, prefix4-breaking):
+    name_token blocking alone must fail the recall floor on this tier
+    and adding the soundex strategy must restore it."""
+    from el.evaluate import blocking_recall
+    from el.fixtures import gen_labeled_pairs
+    from el.pipeline import block_stage
+
+    pages = gen_web_pages(spark, 400, prefix_typo_p=0.9).localCheckpoint(
+        eager=True
+    )
+    labeled = gen_labeled_pairs(spark, 400)
+    cfg_nt = PipelineConfig(use_lsh=False, use_topics=False)
+    cfg_sx = PipelineConfig(use_lsh=False, use_topics=False, use_soundex=True)
+    mentions = mentions_stage(pages, cfg_nt).localCheckpoint(eager=True)
+    keys_nt, _ = block_stage(mentions, cfg_nt)
+    keys_sx, _ = block_stage(mentions, cfg_sx)
+    r_nt = blocking_recall(labeled, keys_nt, mentions)
+    r_sx = blocking_recall(labeled, keys_sx, mentions)
+    assert r_nt < 0.9, f"tier not typo-heavy enough: name_token recall {r_nt}"
+    assert r_sx >= 0.99, f"soundex did not restore recall: {r_sx}"
