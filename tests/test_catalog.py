@@ -88,22 +88,21 @@ def test_metrics_table(spark, cat):
 
 
 def test_overwrite_crash_window_keeps_old_version(spark, cat, monkeypatch):
-    """VERDICT r2 #6: a writer dying between 'old renamed aside' and
-    'new renamed in' must not leave the catalog with NO committed
-    version — reads fall back to the set-aside copy, and the next
-    successful write heals the layout."""
+    """VERDICT r2 #6: a writer dying between 'old archived' and 'new
+    renamed in' must not leave the catalog with NO committed version —
+    reads fall back to the newest snapshot, and the next successful
+    write restores it before replacing."""
     import el.catalog as C
 
     cat.write(spark.range(10), "t", run_id="r1")
     m1 = cat.manifest("t")
 
     real_rename = os.rename
-    calls = {"n": 0}
 
     def dying_rename(src, dst):
         real_rename(src, dst)
-        # die right after the old version was set aside (final gone)
-        if dst.endswith("t.__old"):
+        # die right after the old version was archived (live gone)
+        if ".__v" in dst:
             raise RuntimeError("simulated crash mid-swap")
 
     monkeypatch.setattr(C.os, "rename", dying_rename)
@@ -111,19 +110,52 @@ def test_overwrite_crash_window_keeps_old_version(spark, cat, monkeypatch):
         cat.write(spark.range(5), "t", run_id="r2")
     monkeypatch.setattr(C.os, "rename", real_rename)
 
-    # crashed state: live dir gone, set-aside copy present — the old
+    # crashed state: live dir gone, snapshot present — the old
     # committed version must still be served
     assert not os.path.exists(os.path.join(cat.root, "t", "_MANIFEST.json"))
     assert cat.exists("t")
     assert cat.manifest("t") == m1
     assert cat.read(spark, "t").count() == 10
 
-    # next write restores then replaces; no residue
+    # next write restores then replaces; no in-flight residue
     cat.write(spark.range(3), "t", run_id="r3")
     assert cat.read(spark, "t").count() == 3
     assert cat.manifest("t")["run_id"] == "r3"
-    assert not [d for d in os.listdir(cat.root) if ".__" in d]
-    calls  # silence lint
+    assert not [d for d in os.listdir(cat.root) if ".__tmp" in d]
+
+
+def test_snapshot_time_travel_and_rollback(spark, cat):
+    """Iceberg-style snapshot semantics on the parquet catalog:
+    overwrites archive the displaced version (bounded retention),
+    read(version=k) time-travels, rollback(k) is a pointer move."""
+    cat.write(spark.range(10), "t", run_id="r1")
+    cat.write(spark.range(20), "t", run_id="r2")
+    cat.write(spark.range(30), "t", run_id="r3")
+    assert cat.manifest("t")["version"] == 2
+    assert cat.versions("t") == [0, 1, 2]  # keep_versions=2 + live
+    assert cat.read(spark, "t").count() == 30
+    assert cat.read(spark, "t", version=1).count() == 20
+    assert cat.read(spark, "t", version=0).count() == 10
+    with pytest.raises(FileNotFoundError, match="no retained snapshot"):
+        cat.read(spark, "t", version=7)
+
+    m = cat.rollback("t", 1)
+    assert m["version"] == 1 and m["run_id"] == "r2"
+    assert cat.read(spark, "t").count() == 20
+    # the displaced live version is itself archived -> reversible
+    assert 2 in cat.versions("t")
+    cat.rollback("t", 2)
+    assert cat.read(spark, "t").count() == 30
+
+    # versions stay strictly increasing after a rollback
+    cat.rollback("t", 1)
+    cat.write(spark.range(40), "t", run_id="r4")
+    assert cat.manifest("t")["version"] == 3
+    assert cat.read(spark, "t").count() == 40
+
+    # retention: only keep_versions archives survive
+    arch = [d for d in os.listdir(cat.root) if d.startswith("t.__v")]
+    assert len(arch) <= cat.keep_versions
 
 
 def test_lineage_fallback_hash_matches(spark, cat, monkeypatch):
