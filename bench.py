@@ -49,6 +49,7 @@ HEADLINE_OPTIONAL = [
     "dd4b_ngram_jaccard_minhash",
     "ann1_cosine_topk",
     "ann2_lsh_topk",
+    "ann3_ivf_topk",
     "tx1_language_id",
     "tx2_quality_score",
     "tx5_winnow_fingerprints",

@@ -869,6 +869,19 @@ def ann2_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
+@check("ann3_ivf_topk", oracle=None)  # approximate by design
+def ann3_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path (SURVEY §2 'an IVF or LSH-bucketed variant'):
+    deterministic k-means coarse quantizer (exact-decimal centroid
+    means -> no cross-parallelism drift), one inverted list per corpus
+    vector, nprobe query fan-out, exact cosine re-rank. Recall floor
+    vs brute force pinned in tests/test_similarity.py."""
+    from el.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops: text analysis (el.textops)
 # ---------------------------------------------------------------------------

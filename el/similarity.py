@@ -196,6 +196,163 @@ def lsh_topk(
     )
 
 
+# -- IVF (inverted-file) ANN ---------------------------------------------
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def _assign_centroids(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, centroid_id) rows — each vector's ``nprobe`` nearest
+    centroids by cosine. One numpy matmul per Arrow batch against the
+    broadcast (closure-captured) centroid matrix; ties broken by
+    centroid id (argsort is stable over the id-ordered matrix)."""
+    from el.io import scatter_small
+
+    cn = _norm_rows(centroids.astype(np.float64))
+
+    def gen(batches):
+        for pdf in batches:
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(vecs) == 0:
+                yield pd.DataFrame({id_col: [], "centroid_id": []})
+                continue
+            sims = _norm_rows(vecs) @ cn.T  # (n, C)
+            if nprobe == 1:
+                top = np.argmax(sims, axis=1)[:, None]
+            else:
+                # descending sim, stable -> deterministic tie order
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            ids = np.repeat(pdf[id_col].to_numpy(), top.shape[1])
+            yield pd.DataFrame(
+                {id_col: ids, "centroid_id": top.reshape(-1).astype(np.int64)}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("centroid_id", T.LongType(), False),
+        ]
+    )
+    return scatter_small(df.select(id_col, vec_col)).mapInPandas(
+        gen, schema=schema
+    )
+
+
+def ivf_fit(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means-style centroids fit
+    with Lloyd iterations expressed as DataFrame ops.
+
+    Determinism across runs/partitionings (§4.4 discipline): seeds are
+    the ``n_centroids`` vectors with the smallest xxhash64(id) (a pure
+    function of the data, not of partition order), and the per-element
+    centroid means are EXACT decimal sums cast back to double — float
+    reduction order can never drift an assignment between cluster
+    sizes. The centroid matrix is tiny (C x dim) and collected like
+    any other model artifact; everything corpus-sized stays
+    distributed (assignment is one matmul per Arrow batch, the update
+    is a partial-aggregated groupBy)."""
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    seed_rows = (
+        base.withColumn("_h", F.xxhash64("_id"))
+        .orderBy("_h", "_id")
+        .limit(n_centroids)
+        .select("_v")
+        .collect()
+    )
+    cents = np.array([np.asarray(r._v, dtype=np.float64) for r in seed_rows])
+    exact_mean = [
+        (
+            F.sum(F.col("_v")[i].cast("decimal(38,15)"))
+            / F.count("*")
+        ).cast("double").alias(f"_m{i}")
+        for i in range(dim)
+    ]
+    for _ in range(iters):
+        assign = _assign_centroids(base, cents, "_v", "_id", nprobe=1)
+        upd = (
+            base.join(assign, on="_id")
+            .groupBy("centroid_id")
+            .agg(*exact_mean)
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their previous centroid
+        for r in upd:
+            new[int(r.centroid_id)] = [float(r[f"_m{i}"]) for i in range(dim)]
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k (the classic ANN scale path next to LSH):
+    corpus vectors live in ONE inverted list each (their nearest
+    centroid — n rows total, vs n_tables x n rows for LSH); queries
+    probe their ``nprobe`` nearest lists; exact cosine re-ranks within.
+    Candidate volume ~ nprobe/n_centroids of the corpus per query.
+    Recall vs brute_force_topk is measured in tests, not assumed;
+    pass ``centroids`` (persisted fit artifact) to skip the fit."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_fit(corpus, n_centroids, iters, vec_col, id_col, dim)
+    )
+    ca = _assign_centroids(corpus, cents, vec_col, id_col, nprobe=1)
+    qa = _assign_centroids(queries, cents, vec_col, id_col, nprobe=nprobe)
+    cand = (
+        ca.select(F.col(id_col).alias("n_id"), "centroid_id")
+        .join(
+            qa.select(F.col(id_col).alias("q_id"), "centroid_id"),
+            on="centroid_id",
+        )
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.join(c, on="n_id")
+        .join(F.broadcast(q), on="q_id")
+        .select(
+            "q_id", "n_id", cosine_expr(F.col("q_vec"), F.col("n_vec")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank")
+    )
+
+
 def grouped_centroid_jvm(
     df: DataFrame,
     group_col: str = "label",

@@ -82,3 +82,36 @@ def test_lsh_topk_multiprobe_improves_recall(spark, emb):
     r_probed = len(exact & probed) / len(exact)
     assert r_probed >= r_plain
     assert r_probed >= 0.8, (r_plain, r_probed)
+
+
+def test_ivf_topk_recall_floor_and_determinism(spark, emb):
+    """IVF ANN: recall floor vs brute force at modest nprobe, and the
+    deterministic fit (hash-seeded init + exact-decimal means) yields
+    identical centroids across partitionings."""
+    import numpy as np
+
+    from el.similarity import ivf_fit, ivf_topk
+
+    k = 10
+    q = emb.where("vec_id < 20")
+    exact = {(r.q_id, r.n_id) for r in brute_force_topk(emb, q, k=k).collect()}
+    approx = {
+        (r.q_id, r.n_id)
+        for r in ivf_topk(emb, q, k=k, n_centroids=8, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+    c1 = ivf_fit(emb, n_centroids=8, iters=2)
+    c2 = ivf_fit(emb.repartition(13), n_centroids=8, iters=2)
+    assert np.array_equal(c1, c2), "IVF fit must be partitioning-invariant"
+
+    # persisted-artifact path: passing centroids skips the fit and
+    # reproduces the same result
+    a2 = {
+        (r.q_id, r.n_id)
+        for r in ivf_topk(
+            emb, q, k=k, n_centroids=8, nprobe=3, centroids=c1
+        ).collect()
+    }
+    assert a2 == approx
