@@ -167,3 +167,63 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
     got_rows = sorted(map(tuple, got.collect()))
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows
+
+
+def test_stateful_value_rollup_new_api_across_microbatches(
+    spark, events_dir, tmp_path
+):
+    """ST7: transformWithStateInPandas (Spark 4's handle-based
+    arbitrary-state API) must carry typed ValueState across REAL
+    micro-batches and the final per-key emission must equal the batch
+    twin EXACTLY (int64-quantized sums — no float drift).
+
+    The TWS runtime needs google.protobuf (its state-server protocol);
+    absent in this container, so the streaming half is importorskip-
+    gated (same policy as the Iceberg jar). The batch twin and the
+    clear-error gate are tested unconditionally below."""
+    from el.streaming import user_value_rollup
+
+    batch = spark.read.parquet(events_dir)
+    # batch twin always works; exact decimal-quantized sums
+    twin = user_value_rollup(batch)
+    assert twin.count() > 0
+    assert twin.columns == ["user_id", "n_events", "total_value"]
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        stream0 = spark.readStream.schema(batch.schema).parquet(events_dir)
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            user_value_rollup(stream0)
+        pytest.skip("google.protobuf absent: TWS runtime env-blocked")
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = (
+        user_value_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("value_rollup")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rollup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table("value_rollup")
+    re_emitted = emitted.groupBy("user_id").count().where("count > 1").count()
+    assert re_emitted > 0, "expected multiple micro-batches per key"
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+    )
+    want = user_value_rollup(batch)
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, want.collect())
+    )
