@@ -119,12 +119,17 @@ class HadoopParquetCatalog:
         run_id: str = "run0",
         stage: str | None = None,
         partition_by: list[str] | None = None,
+        extra: dict | None = None,
     ) -> dict:
         """Atomic commit of ``df`` as ``table``; returns the manifest.
 
         Write-to-temp + manifest + rename: the table either exists
         fully committed (manifest present, every file hashed) or not
-        at all."""
+        at all. ``extra`` entries land inside the manifest and commit
+        atomically WITH the data — Iceberg snapshot-property shape,
+        used by delta compaction to carry its watermark (a separate
+        marker file would reintroduce the torn-state window the
+        manifest rename exists to close)."""
         os.makedirs(self.root, exist_ok=True)
         final = self._dir(table)
         tmp = os.path.join(self.root, f"{table}.__tmp_{run_id}")
@@ -229,6 +234,7 @@ class HadoopParquetCatalog:
             "n_files": len(files),
             "total_rows": total_rows,
             "files": files,
+            **(extra or {}),
         }
         mpath = os.path.join(tmp, "_MANIFEST.json")
         with open(mpath, "w") as f:
@@ -326,6 +332,18 @@ class HadoopParquetCatalog:
         if m is None:
             return False
         return run_id is None or m["run_id"] == run_id
+
+    def drop(self, table: str) -> None:
+        """Remove ``table`` and all of its snapshots/tmp dirs. Used by
+        delta compaction to garbage-collect folded delta tables; safe
+        to re-run (missing dirs are fine) and safe to crash mid-way —
+        callers only drop tables a committed watermark already made
+        invisible, so a partial drop is just unreclaimed space."""
+        if not os.path.isdir(self.root):
+            return
+        for name in os.listdir(self.root):
+            if name == table or name.startswith(f"{table}.__"):
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
     # -- metrics surface -------------------------------------------------
 

@@ -30,7 +30,11 @@ Mechanics (J4/J5 semi/anti-join ops from SURVEY.md §2.3):
    (``_read_with_deltas``) — commit I/O scales with the delta. Only
    block_keys (re-capped, bounded strings) and clusters (global CC
    output) are rewritten; Iceberg row-level ops remove those two
-   rewrites when the jar is present.
+   rewrites when the jar is present. ``compact_deltas`` periodically
+   folds the accumulated deltas back into one well-sized base
+   snapshot (Iceberg ``rewrite_data_files``), with the watermark
+   committed atomically inside the base manifest so folded rows are
+   never readable twice.
 
 Batch atomicity (ADVICE r2): a batch's delta tables commit as ONE unit
 via a marker file ``_batch_NNNN.json`` written (atomic tmp+fsync+
@@ -106,14 +110,33 @@ def _commit_batch_marker(
     return marker
 
 
+def _wm_table(base: str) -> str:
+    """Table whose manifest carries ``base``'s compaction watermark.
+    The scored-pair deltas fold into ``scored_pairs_all`` (their base
+    is chunked); everything else folds into its own base table."""
+    return "scored_pairs_all" if base == "scored_pairs" else base
+
+
+def _compacted_through(catalog: HadoopParquetCatalog, base: str) -> int:
+    """Last batch index folded into ``base`` by compaction (-1 if
+    never compacted). Lives INSIDE the base table's manifest, so the
+    watermark and the rewritten data commit in one atomic rename —
+    a reader can never see the folded rows in both places."""
+    m = catalog.manifest(_wm_table(base))
+    return -1 if m is None else m.get("compacted_through", -1)
+
+
 def _delta_names(catalog: HadoopParquetCatalog, base: str) -> list[str]:
     """Committed append-only delta tables for ``base``, in order —
     marker-gated: a delta dir without its batch marker (crashed batch)
-    is invisible; a marker whose delta dir is missing is corruption
-    and fails loudly (ADVICE r2: never silently drop a delta)."""
+    is invisible; batches at or below the compaction watermark are
+    folded into the base (their dirs may already be dropped); a
+    marker whose UNFOLDED delta dir is missing is corruption and
+    fails loudly (ADVICE r2: never silently drop a delta)."""
+    wm = _compacted_through(catalog, base)
     names = []
     for m in _batch_markers(catalog):
-        if base not in m["tables"]:
+        if base not in m["tables"] or m["batch"] <= wm:
             continue
         t = f"{base}_delta_{m['batch']:04d}"
         if not catalog.exists(t):
@@ -124,6 +147,90 @@ def _delta_names(catalog: HadoopParquetCatalog, base: str) -> list[str]:
             )
         names.append(t)
     return names
+
+
+def compact_deltas(
+    spark: SparkSession,
+    catalog: HadoopParquetCatalog,
+    base: str,
+    run_id: str = "compact",
+) -> dict:
+    """Fold ``base``'s committed deltas into one rewritten base table
+    (Iceberg ``rewrite_data_files`` shape). Merge-on-read keeps each
+    absorb cheap, but a long-lived corpus accumulates one delta table
+    per
+    batch — at 100 TB that is thousands of small file sets every scan
+    must union. Compaction restores one well-sized file set.
+
+    Protocol (crash-safe at every point):
+
+    1. read base ∪ unfolded deltas (the normal merge-on-read view);
+    2. atomically commit it as the new base version with
+       ``compacted_through = <last folded batch>`` INSIDE the manifest
+       — data and watermark become visible in the same rename, so the
+       folded rows are never readable twice;
+    3. only then drop the folded delta tables. A crash before (3)
+       leaves dirs that the watermark already made invisible; the next
+       compaction sweeps them.
+
+    For ``base="scored_pairs"`` the rewrite target is
+    ``scored_pairs_all`` (the chunked runner may have committed
+    ``scored_chunk_*`` tables instead of a single base); the chunks
+    are folded and dropped too. Batch markers are history — they are
+    never rewritten; the watermark decides visibility."""
+    # sweep orphans from a previous compaction that died before GC
+    wm0 = _compacted_through(catalog, base)
+    for m in _batch_markers(catalog):
+        t = f"{base}_delta_{m['batch']:04d}"
+        if base in m["tables"] and m["batch"] <= wm0 and catalog.exists(t):
+            catalog.drop(t)
+
+    deltas = _delta_names(catalog, base)
+    chunks: list[str] = []
+    if base == "scored_pairs":
+        if not catalog.exists("scored_pairs_all"):
+            chunks = sorted(
+                d
+                for d in os.listdir(catalog.root)
+                if d.startswith("scored_chunk_")
+                and ".__" not in d
+                and catalog.exists(d)
+            )
+        if not deltas and not chunks:
+            return {"base": base, "folded_batches": 0, "rows": None}
+        merged = None
+        if catalog.exists("scored_pairs_all"):
+            merged = catalog.read(spark, "scored_pairs_all")
+        for c in chunks:
+            part = catalog.read(spark, c)
+            merged = part if merged is None else merged.unionByName(part)
+        for d in deltas:
+            merged = merged.unionByName(catalog.read(spark, d))
+        target = "scored_pairs_all"
+    else:
+        if not deltas:
+            return {"base": base, "folded_batches": 0, "rows": None}
+        merged = _read_with_deltas(spark, catalog, base)
+        target = base
+    last = max(
+        [wm0] + [int(d.rsplit("_", 1)[1]) for d in deltas]
+    )
+    manifest = catalog.write(
+        merged,
+        target,
+        run_id=run_id,
+        stage=target,
+        extra={"compacted_through": last},
+    )
+    for d in deltas + chunks:
+        catalog.drop(d)
+    return {
+        "base": base,
+        "folded_batches": len(deltas),
+        "folded_chunks": len(chunks),
+        "compacted_through": last,
+        "rows": manifest["total_rows"],
+    }
 
 
 def _manifest_rows(catalog: HadoopParquetCatalog, table: str) -> int:
