@@ -142,6 +142,43 @@ def test_incremental_commits_are_append_only(spark, tmp_path_factory, rc):
     assert total.count() == r2["report"]["total_mentions"]
 
 
+def test_ingest_anti_join_never_shuffles_the_corpus(spark):
+    """The ingest filter must not shuffle the corpus-sized mention
+    table per absorb: both joins build on broadcast (delta-sized)
+    sides, so the only exchanges in the plan are the two delta-sized
+    distincts. Auto-broadcast is disabled to prove the shape comes
+    from the explicit hints, not from the fixture being small."""
+    from el.fixtures import gen_web_pages
+    from el.incremental import ingest_new_mentions
+    from el.pipeline import mentions_stage
+
+    pages = gen_web_pages(spark, 200).localCheckpoint()
+    split = F.pmod(F.xxhash64("url"), F.lit(4)) < 1
+    cfg = PipelineConfig(use_lsh=False, use_topics=False)
+    old = mentions_stage(pages.where(~split), cfg).localCheckpoint()
+    delta = mentions_stage(pages.where(split), cfg).localCheckpoint()
+
+    df = ingest_new_mentions(delta, old)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 2, plan  # the two tiny distincts only
+
+    # and it computes exactly the anti-join it replaces
+    naive = delta.join(
+        old.select("url").distinct(), on="url", how="left_anti"
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
 def test_incremental_recaps_hot_blocks(spark, tmp_path_factory):
     """Absorbed batches must not grow a hot block past cap_k (ADVICE
     r1: the union of capped old keys + capped delta keys was never
