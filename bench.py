@@ -81,8 +81,37 @@ def _dd5b_prod(spark, sf_dir):
     )
 
 
+_IVF_CENTROIDS: dict[str, object] = {}
+
+
+def _ann3_prefit(spark, sf_dir):
+    """ann3 on the PRODUCTION artifact path: the coarse quantizer is a
+    fit-once persisted model (like TF-IDF/LDA — `ivf_topk` takes
+    ``centroids=``), so the registry entry's per-call k-means refit is
+    a fit tax, not a query cost. The first rep pays the (cached) fit;
+    min-of-reps therefore reports the fit-free query wall — the same
+    split `pipeline_refit` makes for the text models."""
+    from el.io import load_table
+    from el.similarity import ivf_fit, ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = ivf_fit(emb)
+    return ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        nprobe=2,
+        centroids=_IVF_CENTROIDS[sf_dir],
+    )
+
+
 # benched with non-REGISTRY configs (production regime vs oracle regime)
-EXTRA = {"dd5b_embedding_neardup_lsh_prod": _dd5b_prod}
+EXTRA = {
+    "dd5b_embedding_neardup_lsh_prod": _dd5b_prod,
+    "ann3_ivf_topk_prefit": _ann3_prefit,
+}
 
 PAGES_PER_SF = 60_000  # synthetic corpus size per unit sf
 
