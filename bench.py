@@ -61,14 +61,14 @@ HEADLINE_OPTIONAL = [
 
 
 def _dd5b_prod(spark, sf_dir):
-    """dd5b in a PRODUCTION configuration (VERDICT r2 #5): the oracle
-    entry's planes=4/tables=48 form exists only to hold recall 1.0
-    exactly at the fixture's low 0.4 threshold and overstates the
-    operator's production cost ~3x. This benches planes=3/tables=16 —
-    measured recall 0.9967 vs the exact all-pairs truth at threshold
-    0.4 / sf0.1 (920 true pairs; false positives 0 — verify is exact).
-    The high-threshold regime (0.95, planes=8/tables=16, recall 1.0)
-    is pinned separately in tests/test_dedup.py."""
+    """dd5b in its PRODUCTION configuration (VERDICT r2 #5). With
+    multi-probe (r3) the production config at the fixture's low 0.4
+    threshold is planes=3/tables=8/probe_bits=1 — measured at sf0.1:
+    all 920 true pairs recovered (recall 1.0; false positives 0 —
+    verify is exact) in 6.8 s vs 9.3 s for the plain 3/16 form, which
+    misses 3 pairs. The high-threshold regime (0.95, planes=8/
+    tables=16, recall 1.0) is pinned separately in
+    tests/test_dedup.py."""
     from el.dedup import embedding_neardup_pairs
     from el.io import load_table
 
@@ -77,7 +77,8 @@ def _dd5b_prod(spark, sf_dir):
         threshold=0.4,
         method="lsh",
         n_planes=3,
-        n_tables=16,
+        n_tables=8,
+        probe_bits=1,
     )
 
 

@@ -13,13 +13,22 @@ Scale notes:
 - SimHash banding: a 64-bit simhash split into 4 x 16-bit bands finds
   every pair within Hamming distance 3 (pigeonhole: <=3 flipped bits
   cannot touch all 4 bands).
+- hot-bucket skew: every candidate generator takes ``max_bucket``
+  (default None = unbounded, exact fixture/oracle semantics). At
+  100 TB a degenerate bucket — millions of boilerplate pages sharing
+  a band key, or a mega-cluster of identical embeddings — turns the
+  bucket self-join quadratic on one reducer; ``max_bucket=K`` bounds
+  each bucket's contribution to <=K(K-1)/2 candidates with a
+  deterministic hash-order keep rule (the W1/cap_blocks discipline),
+  and ``bucket_load_stats`` makes the truncation observable — never
+  silent.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -50,6 +59,46 @@ def exact_dedup(
         )
         .select("keep_id", "n_copies")
     )
+
+
+# -- hot-bucket skew cap -------------------------------------------------
+
+
+def cap_bucket_members(
+    keyed: DataFrame, key_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Keep <= ``cap`` members per bucket, chosen by a DETERMINISTIC
+    pseudo-random order (xxhash64(key, id), id) — the same total-order
+    tie-break discipline as el.blocking.cap_blocks (W1), so results
+    are stable across partitionings and parallelism levels. Hash order
+    (not plain id order) avoids systematically biasing the kept set
+    toward low ids, which on synthetic corpora correlate with
+    generation order."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.xxhash64(F.col(key_col).cast("string"), F.col(id_col)),
+        F.col(id_col),
+    )
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def bucket_load_stats(
+    keyed: DataFrame, key_col: str, id_col: str, cap: int | None = None
+) -> DataFrame:
+    """Per-bucket (n_members, n_dropped) for the metrics table —
+    recall loss from ``max_bucket`` capping is observable, never
+    silent. With cap=None, n_dropped is 0 and the frame is a plain
+    bucket-load histogram (skew diagnostics / cap tuning)."""
+    counts = keyed.groupBy(key_col).agg(F.count(id_col).alias("n_members"))
+    dropped = (
+        F.greatest(F.col("n_members") - F.lit(cap), F.lit(0))
+        if cap is not None
+        else F.lit(0)
+    )
+    return counts.select(key_col, "n_members", dropped.alias("n_dropped"))
 
 
 # -- n-gram Jaccard ------------------------------------------------------
@@ -138,6 +187,7 @@ def ngram_jaccard_pairs(
     mh_shingle_k: int = 5,
     mh_rows: int = 4,
     mh_bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact token n-gram Jaccard >= threshold.
     Emits (a_id, b_id, jaccard).
@@ -180,6 +230,7 @@ def ngram_jaccard_pairs(
             shingle_k=mh_shingle_k,
             rows=mh_rows,
             bands=mh_bands,
+            max_bucket=max_bucket,
         )
         if block_col is not None:
             cand = _same_block_filter(cand, base, id_col, block_col)
@@ -208,10 +259,15 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     rows: int = 4,
     bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash band collision (reuses the
     el.minhash kernel): shingle -> minhash -> band -> bucket equi-join.
-    Linear in corpus size; collision prob 1-(1-s^rows)^bands."""
+    Linear in corpus size; collision prob 1-(1-s^rows)^bands.
+
+    ``max_bucket`` (production: set it, e.g. 1000) bounds each band
+    bucket at K members before the self-join — see module docstring;
+    pairs within a capped bucket are a deterministic subset."""
     keyed = lsh_band_keys(
         scatter_small(
             df.select(
@@ -224,6 +280,8 @@ def minhash_lsh_pairs(
         rows=rows,
         bands=bands,
     )
+    if max_bucket is not None:
+        keyed = cap_bucket_members(keyed, "block_key", "mention_id", max_bucket)
     a = keyed.select(F.col("mention_id").alias("a_id"), "block_key")
     b = keyed.select(F.col("mention_id").alias("b_id"), "block_key")
     return (
@@ -325,10 +383,15 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found by
     4x16-bit band collision (complete for max_hamming <= 3) and
-    verified with a JVM-side popcount."""
+    verified with a JVM-side popcount.
+
+    ``max_bucket`` caps band-bucket membership (module docstring);
+    with it set the Hamming<=3 completeness guarantee holds only
+    within the kept members of each bucket."""
     sh = simhash_col(df, text_col, id_col)
     bands = sh.select(
         F.col(id_col),
@@ -347,6 +410,8 @@ def simhash_pairs(
             )
         ).alias("band_key"),
     )
+    if max_bucket is not None:
+        bands = cap_bucket_members(bands, "band_key", id_col, max_bucket)
     a = bands.select(
         F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"), "band_key"
     )
@@ -397,9 +462,16 @@ def embedding_neardup_pairs(
     seed: int = 11,
     dim: int = 64,
     probe_bits: int = 0,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup vector pairs with exact cosine >= threshold; ids only
     — float values stay out of the comparison surface.
+
+    ``max_bucket`` caps each LSH bucket's membership on BOTH join
+    sides (module docstring: a mega-cluster of near-identical
+    embeddings makes a bucket self-join quadratic at scale); each
+    bucket then contributes <= K^2 candidates, and the kept subset is
+    deterministic.
 
     ``block_col`` (default None = whole corpus) is HONORED by every
     method: when set, only same-block pairs are emitted — in the lsh
@@ -439,6 +511,13 @@ def embedding_neardup_pairs(
             if probe_bits
             else buckets
         )
+        if max_bucket is not None:
+            buckets = cap_bucket_members(buckets, "bucket", id_col, max_bucket)
+            b_side = (
+                cap_bucket_members(b_side, "bucket", id_col, max_bucket)
+                if probe_bits
+                else buckets
+            )
         cand = (
             buckets.select(F.col(id_col).alias("a_id"), "bucket")
             .join(

@@ -240,3 +240,116 @@ def test_block_col_honored_in_scale_paths(spark, docs):
         ).collect()
     }
     assert e_exact < e_all
+
+
+def test_max_bucket_parity_when_cap_not_binding(spark, docs):
+    """max_bucket large enough to keep every bucket whole must leave
+    every candidate path bit-identical to the uncapped form (the cap
+    is a pure pre-join row_number filter; with rn <= cap always true
+    it is the identity)."""
+    base = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    }
+    capped = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", max_bucket=10_000
+        ).collect()
+    }
+    assert capped == base
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e_base = {
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.4, method="lsh",
+            n_planes=3, n_tables=8, probe_bits=1,
+        ).collect()
+    }
+    e_cap = {
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.4, method="lsh",
+            n_planes=3, n_tables=8, probe_bits=1, max_bucket=10_000,
+        ).collect()
+    }
+    assert e_cap == e_base
+
+
+def test_max_bucket_bounds_hot_bucket(spark):
+    """A degenerate corpus (150 identical docs) is exactly the 100 TB
+    hazard: every band bucket holds all 150 members and the self-join
+    emits ~11k pairs. max_bucket=10 must (a) bound candidates per
+    bucket at K(K-1)/2, (b) emit a deterministic SUBSET of the
+    uncapped pairs, (c) report the truncation via bucket_load_stats —
+    never silently."""
+    from el.dedup import bucket_load_stats, cap_bucket_members
+    from el.minhash import lsh_band_keys
+
+    rows = [(i, "the same boilerplate page text repeated verbatim " * 4)
+            for i in range(150)]
+    rows += [(200 + i, f"unique filler document number {i} with its own words")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(df, "text", "doc_id").persist()
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 150 * 149 / 2  # the quadratic blowup is real
+
+    capped = minhash_lsh_pairs(df, "text", "doc_id", max_bucket=10).persist()
+    got = {(r.a_id, r.b_id) for r in capped.collect()}
+    # hot bucket: <= bands * K(K-1)/2; the 10 mutually-similar filler
+    # docs can add at most their own 45 all-pairs on top
+    assert len(got) <= 16 * 10 * 9 / 2 + 10 * 9 / 2
+    assert got <= {(r.a_id, r.b_id) for r in uncapped.collect()}
+    # determinism: same subset on a rerun
+    again = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(df, "text", "doc_id", max_bucket=10).collect()
+    }
+    assert again == got
+    uncapped.unpersist()
+    capped.unpersist()
+
+    keyed = lsh_band_keys(
+        df.selectExpr(
+            "doc_id as mention_id",
+            "cast(doc_id as string) as url",
+            "text as context",
+        )
+    )
+    stats = bucket_load_stats(keyed, "block_key", "mention_id", cap=10)
+    hot = stats.where("n_dropped > 0").collect()
+    assert hot and all(r.n_members - 10 == r.n_dropped for r in hot)
+    # and the capped frame really holds <= 10 members per bucket
+    kept = cap_bucket_members(keyed, "block_key", "mention_id", 10)
+    assert kept.groupBy("block_key").count().where("count > 10").count() == 0
+
+
+def test_max_bucket_simhash_and_embedding_bound(spark):
+    """Same hot-bucket bound for the simhash and embedding paths."""
+    rows = [(i, "identical page body for the simhash hot bucket " * 3)
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_uncapped = simhash_pairs(df, "text", "doc_id").count()
+    assert n_uncapped == 80 * 79 / 2
+    capped = simhash_pairs(df, "text", "doc_id", max_bucket=6).count()
+    assert capped <= 4 * 6 * 5 / 2  # 4 bands, K=6
+
+    vec = [0.1] * 64
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(60)], "vec_id long, embedding array<float>"
+    )
+    n_vec = embedding_neardup_pairs(
+        emb, threshold=0.9, method="lsh", n_planes=3, n_tables=8,
+        probe_bits=1,
+    ).count()
+    assert n_vec == 60 * 59 / 2
+    n_vec_cap = embedding_neardup_pairs(
+        emb, threshold=0.9, method="lsh", n_planes=3, n_tables=8,
+        probe_bits=1, max_bucket=5,
+    ).count()
+    # 8 tables, each bucket capped at 5 (kept subsets differ per
+    # table: the keep order hashes the bucket key) -> <= 8 * K(K-1)/2
+    assert n_vec_cap <= 8 * 5 * 4 / 2
