@@ -216,8 +216,22 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # warm-up: absorb JVM + Python-worker startup
+    # warm-up: absorb JVM startup AND fork the Arrow Python-worker
+    # pool (a JVM-only warm-up leaves the first pandas-kernel query
+    # paying ~2.5 s of worker spin-up — measured on dd2)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def _identity(batches):
+        for pdf in batches:
+            yield pdf
+
+    (
+        spark.range(0, 32 * 1000, 1, 32)
+        .mapInPandas(_identity, schema="id long")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     # Noise discipline (VERDICT r2 #2): this VM shows random multi-
     # second hypervisor vCPU stalls (BASELINE.md), so each operator
