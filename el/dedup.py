@@ -21,7 +21,10 @@ Scale notes:
   each bucket's contribution to <=K(K-1)/2 candidates with a
   deterministic hash-order keep rule (the W1/cap_blocks discipline),
   and ``bucket_load_stats`` makes the truncation observable — never
-  silent.
+  silent. Division of labor with AQE: ``max_bucket`` fixes the
+  DATA-level quadratic (a capped bucket emits fewer pairs); AQE's
+  skew-join splitting (on in el.conf) is the backstop that spreads a
+  merely-warm bucket's pairs across reducers without dropping any.
 """
 
 from __future__ import annotations
@@ -58,6 +61,51 @@ def exact_dedup(
             F.count("*").alias("n_copies"),
         )
         .select("keep_id", "n_copies")
+    )
+
+
+def chunk_exact_dupes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Sub-document exact dedup: find token chunks repeated anywhere in
+    the corpus (boilerplate detection — the chunk-level analog of
+    ``exact_dedup``; cf. the repeated-substring pass in C4-style
+    pipeline cleanup).
+
+    Each document's tokens (shared spec) are cut into non-overlapping
+    ``k``-token chunks; a chunk is a duplicate when its md5 occurs more
+    than once corpus-wide. Returns one row per duplicated chunk:
+    ``(chunk_md5, n_occ, n_docs, keeper_doc = min id)``.
+
+    Scale: explode -> hash groupBy with map-side partial aggregation;
+    the shuffle carries 32-hex-char digests + ids, never chunk text.
+    Linear in corpus size, no self-join anywhere."""
+    toks = tokens_of(F.col(text_col))
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("toks"))
+        .where(F.size("toks") >= k)
+    )
+    chunk_hashes = F.transform(
+        F.sequence(
+            F.lit(0), (F.floor(F.size("toks") / F.lit(k)) - 1).cast("int")
+        ),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), i * k + 1, k))
+        ),
+    )
+    return (
+        base.select(id_col, F.explode(chunk_hashes).alias("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.min(id_col).alias("keeper_doc"),
+        )
+        .where(F.col("n_occ") > 1)
     )
 
 

@@ -90,3 +90,31 @@ def blocking_recall(
     )
     n_pos = pos.count()
     return covered.count() / n_pos if n_pos else 1.0
+
+
+def blocking_reduction_ratio(df: DataFrame, block_col: str) -> DataFrame:
+    """Reduction ratio of a blocking scheme (the standard ER blocking
+    metric complementing pairs-completeness/``blocking_recall``):
+    ``1 - candidate_pairs / all_pairs`` where candidate pairs are
+    within-block. Returns a 1-row DataFrame
+    ``(n_rows, cand_pairs, all_pairs, reduction_ratio)``.
+
+    Pair counts use ``shiftright(n*(n-1), 1)`` — exact long division
+    by 2, no double rounding. One groupBy + one global agg; nothing
+    corpus-sized reaches the driver."""
+    half = lambda c: F.shiftright(c * (c - F.lit(1)), 1)  # noqa: E731
+    per = df.groupBy(block_col).agg(F.count("*").alias("n"))
+    tot = per.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(half(F.col("n"))).cast("long").alias("cand_pairs"),
+    )
+    return tot.select(
+        "n_rows",
+        "cand_pairs",
+        half(F.col("n_rows")).cast("long").alias("all_pairs"),
+        (
+            F.lit(1.0)
+            - F.col("cand_pairs").cast("double")
+            / half(F.col("n_rows")).cast("double")
+        ).alias("reduction_ratio"),
+    )

@@ -1348,6 +1348,248 @@ def x10_returned_items(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# web-crawl hygiene operators (r3): URL canonicalization, repetition
+# quality signals, PII scrubbing, chunk-level exact dedup, blocking
+# reduction ratio. The sf tables carry no URL/PII columns, so tx6/tx8
+# build deterministic inputs from (doc_id, source) IDENTICALLY in both
+# engines — the operator under test is the transformation, the
+# construction is fixture SQL.
+# ---------------------------------------------------------------------------
+
+from el.textops import EMAIL_RE, PHONE_RE  # noqa: E402
+
+_RAW_URL_SQL = """
+    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END
+     || source || '.Example.COM'
+     || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+     || '/Docs/' || CAST(doc_id AS VARCHAR)
+     || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+     || CASE WHEN doc_id % 5 = 0
+             THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                  || '&ref=rss'
+             ELSE '' END
+     || '#sec')
+"""
+
+
+def _raw_url_col() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 3 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("http://")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        did.cast("string"),
+        F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="), did.cast("string"),
+                F.lit("&ref=rss"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("#sec"),
+    )
+
+
+@check(
+    "tx6_url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, {u} AS url FROM documents
+    ), nofrag AS (
+      SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM raw
+    ), parts AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(
+                 lower(regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                 '^www\\.', ''), ':(80|443)$', '') AS host,
+             regexp_replace(u,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '') AS rest
+      FROM nofrag
+    ), comps AS (
+      SELECT doc_id, host,
+             regexp_replace(regexp_replace(rest, '\\?.*', ''), '/+$', '')
+               AS path,
+             CASE WHEN contains(rest, '?')
+                  THEN regexp_replace(rest, '^[^?]*\\?', '') ELSE '' END AS qs
+      FROM parts
+    ), kept AS (
+      SELECT doc_id, host, path,
+             list_filter(string_split(qs, '&'),
+                 p -> len(p) > 0 AND NOT regexp_matches(p,
+                      '^(utm_[^=]*|ref|fbclid|gclid)=')) AS params
+      FROM comps
+    )
+    SELECT doc_id,
+           host || path ||
+           CASE WHEN len(params) > 0
+                THEN '?' || array_to_string(params, '&') ELSE '' END
+           AS canon_url
+    FROM kept
+    """.format(u=_RAW_URL_SQL),
+)
+def tx6_url_canonicalize(spark, sf_dir):
+    """Canonical-URL kernel vs a DuckDB re-implementation, over urls
+    deterministically synthesized from (doc_id, source) — covers
+    scheme/www/port stripping, tracking-param removal, trailing-slash
+    and fragment cases (each toggled by a different doc_id modulus)."""
+    from el.textops import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", canonicalize_url(_raw_url_col()).alias("canon_url")
+    )
+
+
+@check(
+    "tx7_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, {t} AS l FROM documents WHERE text IS NOT NULL
+    ), wc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(l) AS w FROM toks) GROUP BY doc_id, w
+    ), wd AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS max_wc
+      FROM wc GROUP BY doc_id
+    ), gc AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, l[i + 1] || ' ' || l[i + 2] AS g
+            FROM toks, unnest(range(len(l) - 1)) AS u(i)) GROUP BY doc_id, g
+    ), gd AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(count(*) AS BIGINT) AS n_distinct_grams
+      FROM gc GROUP BY doc_id
+    )
+    SELECT wd.doc_id, n_words,
+           CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS distinct_word_ratio,
+           CAST(max_wc AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS top_word_frac,
+           CASE WHEN n_grams IS NULL THEN 0.0
+                ELSE 1.0 - CAST(n_distinct_grams AS DOUBLE)
+                           / CAST(n_grams AS DOUBLE) END AS dup_2gram_frac
+    FROM wd LEFT JOIN gd ON wd.doc_id = gd.doc_id
+    """.format(t=_TOKS_SQL),
+)
+def tx7_repetition_stats(spark, sf_dir):
+    from el.textops import repetition_stats
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return repetition_stats(d.select("doc_id", "text"))
+
+
+@check(
+    "tx8_pii_scrub",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@Example-Mail.com'
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN ' or call 555-123-4567 now' ELSE '' END
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' alt ops.team+x@corp.example.org'
+                          ELSE '' END
+                  || '.' AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '@EMAIL@')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '@PHONE@')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(regexp_replace(t, '@EMAIL@', '<EMAIL>', 'g'),
+                          '@PHONE@', '<PHONE>', 'g') AS text_scrubbed
+    FROM raw
+    """.replace("@EMAIL@", EMAIL_RE).replace("@PHONE@", PHONE_RE),
+)
+def tx8_pii_scrub(spark, sf_dir):
+    """PII scrub kernel vs DuckDB's RE2 on text with deterministically
+    injected emails/phones (modulus-toggled so counts vary per row).
+    The full scrubbed string is value-hashed — replacement positions
+    must agree exactly, not just counts."""
+    from el.textops import scrub_pii
+
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), did.cast("string"),
+        F.lit("@Example-Mail.com"),
+        F.when(
+            did % 2 == 0, F.lit(" or call 555-123-4567 now")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0, F.lit(" alt ops.team+x@corp.example.org")
+        ).otherwise(F.lit("")),
+        F.lit("."),
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", injected.alias("text"))
+    )
+    return scrub_pii(d).select(
+        "doc_id", "n_emails", "n_phones", "text_scrubbed"
+    )
+
+
+@check(
+    "dd6_chunk_exact_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, {t} AS l FROM documents WHERE text IS NOT NULL
+    ), chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(l[(i * 4 + 1):(i * 4 + 4)], ' '))
+               AS chunk_md5
+      FROM toks, unnest(range(len(l) // 4)) AS u(i)
+      WHERE len(l) >= 4
+    )
+    SELECT chunk_md5,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_doc
+    FROM chunks GROUP BY chunk_md5 HAVING count(*) > 1
+    """.format(t=_TOKS_SQL),
+)
+def dd6_chunk_exact_dedup(spark, sf_dir):
+    from el.dedup import chunk_exact_dupes
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_exact_dupes(d, id_col="doc_id", text_col="text", k=4)
+
+
+@check(
+    "er1_blocking_reduction",
+    oracle="""
+    WITH per AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS cand_pairs
+      FROM per
+    )
+    SELECT n_rows, cand_pairs,
+           CAST((n_rows * (n_rows - 1)) // 2 AS BIGINT) AS all_pairs,
+           1.0 - CAST(cand_pairs AS DOUBLE)
+                 / CAST((n_rows * (n_rows - 1)) // 2 AS DOUBLE)
+             AS reduction_ratio
+    FROM tot
+    """,
+)
+def er1_blocking_reduction(spark, sf_dir):
+    from el.evaluate import blocking_reduction_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return blocking_reduction_ratio(d, "lang")
+
+
+# ---------------------------------------------------------------------------
 # driver-window ordering
 # ---------------------------------------------------------------------------
 # The grading driver evaluates only the first 50 registry entries

@@ -134,6 +134,148 @@ def content_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm))
 
 
+# -- URL canonicalization ------------------------------------------------
+
+# scheme://authority prefix (scheme per RFC 3986: ALPHA *(ALPHA/DIGIT/+/-/.))
+_SCHEME_HOST = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_SCHEME_HOST_NOCAP = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+"
+# query parameters dropped by canonicalization (tracking noise that
+# fragments otherwise-identical pages into distinct URL keys)
+TRACKING_PARAM_RE = "^(utm_[^=]*|ref|fbclid|gclid)="
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical form of an absolute URL, for URL-keyed dedup and
+    host-level rollups over a web crawl:
+
+    - fragment dropped;
+    - host lowercased, leading ``www.`` and default ports (80/443)
+      stripped (path/query case is PRESERVED — it is significant);
+    - tracking query params (``utm_*``, ``ref``, ``fbclid``,
+      ``gclid``) removed, remaining params kept in order;
+    - trailing slashes stripped from the path.
+
+    Inputs without a ``scheme://`` prefix are returned lower/trimmed
+    as-is (relative URLs have no canonical authority). Pure builtin
+    composition — whole-stage codegen, no Python. At crawl scale this
+    runs in the scan stage; the canonical string (not the raw URL) is
+    the dedup/groupBy key, so the shuffle carries one normalized key
+    per page."""
+    u = F.regexp_replace(col, "#.*", "")
+    host = F.lower(F.regexp_extract(u, _SCHEME_HOST, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(host, "^www\\.", ""), ":(80|443)$", ""
+    )
+    rest = F.regexp_replace(u, _SCHEME_HOST_NOCAP, "")
+    path = F.regexp_replace(F.regexp_replace(rest, "\\?.*", ""), "/+$", "")
+    qs = F.when(
+        rest.contains("?"), F.regexp_replace(rest, "^[^?]*\\?", "")
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    canon = F.concat(
+        host,
+        path,
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        ).otherwise(F.lit("")),
+    )
+    return F.when(host == "", F.lower(F.trim(col))).otherwise(canon)
+
+
+# -- repetition / quality signals (Gopher-style) -------------------------
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher/C4 family of
+    quality-filter rules, restated over the shared token spec):
+
+    - ``n_words``: token count;
+    - ``distinct_word_ratio``: distinct tokens / tokens (low -> spam);
+    - ``top_word_frac``: most frequent token's share (high -> spam);
+    - ``dup_2gram_frac``: 1 - distinct 2-grams / 2-grams.
+
+    Documents with zero tokens are excluded (no signal). Shape is
+    explode -> partial-agg groupBy: both aggregations are map-side
+    combinable, so at 100 TB the shuffle carries (doc, token-hash)
+    partial counts, never text. Raw double divisions over exact
+    integers -> bit-identical vs the DuckDB oracle."""
+    toks = tokens_of(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    wc = (
+        base.select(id_col, F.explode("toks").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = wc.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("max_wc"),
+    )
+    grams = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    gd = (
+        base.where(F.size("toks") >= 2)
+        .select(id_col, F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.count("*").cast("long").alias("n_distinct_grams"),
+        )
+    )
+    return per_doc.join(gd, on=id_col, how="left").select(
+        id_col,
+        "n_words",
+        (F.col("n_distinct").cast("double") / F.col("n_words").cast("double"))
+        .alias("distinct_word_ratio"),
+        (F.col("max_wc").cast("double") / F.col("n_words").cast("double"))
+        .alias("top_word_frac"),
+        F.when(F.col("n_grams").isNull(), F.lit(0.0))
+        .otherwise(
+            F.lit(1.0)
+            - F.col("n_distinct_grams").cast("double")
+            / F.col("n_grams").cast("double")
+        )
+        .alias("dup_2gram_frac"),
+    )
+
+
+# -- PII scrubbing -------------------------------------------------------
+
+# conservative patterns valid in both Java regex (Spark) and RE2 (DuckDB)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """+ ``n_emails``/``n_phones`` (match counts) and
+    ``text_scrubbed`` with emails -> ``<EMAIL>`` and phone numbers ->
+    ``<PHONE>``. Regex-only (whole-stage codegen); emails are replaced
+    before phones so a digit-heavy local part cannot double-redact."""
+    text = F.col(text_col)
+    return df.select(
+        "*",
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("text_scrubbed"),
+    )
+
+
 # -- winnowing fingerprints (rolling hash; mapInPandas kernel) ----------
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)

@@ -353,3 +353,24 @@ def test_max_bucket_simhash_and_embedding_bound(spark):
     # 8 tables, each bucket capped at 5 (kept subsets differ per
     # table: the keep order hashes the bucket key) -> <= 8 * K(K-1)/2
     assert n_vec_cap <= 8 * 5 * 4 / 2
+
+
+def test_chunk_exact_dupes_crafted(spark):
+    from el.dedup import chunk_exact_dupes
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # chunks: [a b g d], [e z e t]
+        (2, "alpha beta gamma delta something else entirely here"),  # shares chunk 1
+        (3, "alpha beta gamma delta"),  # shares chunk 1 again
+        (4, "short one"),  # < k tokens: excluded
+        (5, "epsilon zeta eta theta epsilon zeta eta theta"),  # internal repeat + shares doc1's 2nd chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.chunk_md5: r for r in chunk_exact_dupes(df, k=4).collect()}
+    assert len(out) == 2  # "alpha beta gamma delta" and "epsilon zeta eta theta"
+    # alpha-beta-gamma-delta: docs 1,2,3 -> 3 occurrences, keeper 1
+    three = [r for r in out.values() if r.n_docs == 3]
+    assert len(three) == 1 and three[0].n_occ == 3 and three[0].keeper_doc == 1
+    # epsilon-zeta-eta-theta: doc1 once + doc5 twice -> n_occ 3, n_docs 2
+    two = [r for r in out.values() if r.n_docs == 2]
+    assert len(two) == 1 and two[0].n_occ == 3 and two[0].keeper_doc == 1

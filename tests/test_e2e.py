@@ -80,3 +80,14 @@ def test_pipeline_survives_empty_corpus(spark):
     assert out["clusters"].count() == 0
     assert out["scored_pairs"].count() == 0
     assert "cluster_id" in out["clusters"].columns
+
+
+def test_blocking_reduction_ratio_exact(spark):
+    from el.evaluate import blocking_reduction_ratio
+
+    # blocks of size 3, 2, 1 -> cand = 3 + 1 + 0 = 4; N=6 -> all = 15
+    rows = [(i, b) for i, b in enumerate(["x", "x", "x", "y", "y", "z"])]
+    df = spark.createDataFrame(rows, "id long, blk string")
+    r = blocking_reduction_ratio(df, "blk").collect()[0]
+    assert (r.n_rows, r.cand_pairs, r.all_pairs) == (6, 4, 15)
+    assert abs(r.reduction_ratio - (1.0 - 4.0 / 15.0)) < 1e-12

@@ -4,6 +4,8 @@ and containment behavior."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from el.textops import (
     content_fingerprint,
     language_id,
@@ -77,3 +79,75 @@ def test_winnow_overlap_detects_shared_content():
     fa, fb, fc = set(winnow_py(a)), set(winnow_py(b)), set(winnow_py(c))
     assert len(fa & fb) / len(fa) > 0.8  # containment survives append
     assert len(fa & fc) == 0
+
+
+def test_canonicalize_url_cases(spark):
+    from el.textops import canonicalize_url
+
+    cases = [
+        # (raw, expected)
+        (1, "HTTPS://WWW.News.Example.COM:443/A/B/#top",
+         "news.example.com/A/B"),
+        (2, "http://example.com/", "example.com"),
+        (3, "http://example.com:8080/x", "example.com:8080/x"),  # non-default port kept
+        (4, "https://example.com/p?utm_source=a&id=7&ref=rss&q=Z",
+         "example.com/p?id=7&q=Z"),
+        (5, "https://example.com/p?utm_campaign=x&fbclid=abc",
+         "example.com/p"),  # all-tracking query dropped entirely
+        (6, "  /Relative/Path  ", "/relative/path"),  # no scheme -> lower/trim
+        (7, "http://WWW.ONLY.ORG", "only.org"),
+        (8, "https://a.net/CaseKept/Path?Key=Val#frag",
+         "a.net/CaseKept/Path?Key=Val"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "i long, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_repetition_stats_crafted(spark):
+    from el.textops import repetition_stats
+
+    rows = [
+        (1, "a a a a"),          # 4 words, 1 distinct, grams all "a a"
+        (2, "a b c d"),          # all distinct
+        (3, "x"),                # single token: no grams
+        (4, "spam spam ham spam"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].n_words == 4
+    assert got[1].distinct_word_ratio == 0.25
+    assert got[1].top_word_frac == 1.0
+    assert got[1].dup_2gram_frac == 1.0 - 1.0 / 3.0
+    assert got[2].distinct_word_ratio == 1.0
+    assert got[2].dup_2gram_frac == 0.0
+    assert got[3].n_words == 1
+    assert got[3].dup_2gram_frac == 0.0  # no grams -> defined as 0
+    assert got[4].top_word_frac == 0.75
+    assert got[4].distinct_word_ratio == 0.5
+
+
+def test_scrub_pii_crafted(spark):
+    from el.textops import scrub_pii
+
+    rows = [
+        (1, "mail a.b+c@x-y.co.uk and call 555-123-4567 today"),
+        (2, "no pii here"),
+        (3, "twice: u@e.org v@f.net, phone 555 1234 5678."),
+        (4, "not-a-phone 12-34-56 and not-an-email foo@bar"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (got[1].n_emails, got[1].n_phones) == (1, 1)
+    assert got[1].text_scrubbed == "mail <EMAIL> and call <PHONE> today"
+    assert (got[2].n_emails, got[2].n_phones) == (0, 0)
+    assert got[2].text_scrubbed == "no pii here"
+    assert (got[3].n_emails, got[3].n_phones) == (2, 1)
+    assert got[3].text_scrubbed == "twice: <EMAIL> <EMAIL>, phone <PHONE>."
+    assert (got[4].n_emails, got[4].n_phones) == (0, 0)
