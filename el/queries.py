@@ -1566,6 +1566,62 @@ def dd6_chunk_exact_dedup(spark, sf_dir):
 
 
 @check(
+    "j7_connected_components",
+    oracle="""
+    WITH e1 AS (
+      SELECT doc_id AS a, (doc_id * 7 + 3) % 500 AS b FROM documents
+    ), e2 AS (
+      SELECT doc_id AS a, (doc_id * doc_id + 1) % 500 AS b
+      FROM documents WHERE doc_id % 3 = 0
+    ), und AS (
+      SELECT a AS s, b AS d
+      FROM (SELECT * FROM e1 UNION SELECT * FROM e2) WHERE a <> b
+      UNION
+      SELECT b, a
+      FROM (SELECT * FROM e1 UNION SELECT * FROM e2) WHERE a <> b
+    ), rec AS (
+      WITH RECURSIVE reach(src, dst) AS (
+        SELECT s, d FROM und
+        UNION
+        SELECT r.src, u.d FROM reach r JOIN und u ON r.dst = u.s
+      ) SELECT * FROM reach
+    )
+    SELECT src AS node_id, min(m) AS cluster_id FROM (
+      SELECT src, dst AS m FROM rec
+      UNION ALL SELECT DISTINCT s, s FROM und
+    ) GROUP BY src
+    """,
+)
+def j7_connected_components(spark, sf_dir):
+    """Large-star/small-star connected components (the clustering
+    stage's kernel) pinned against an INDEPENDENT SQL implementation:
+    DuckDB computes the transitive closure with a recursive CTE and
+    takes min-reachable as the component label. The graph is built
+    deterministically from doc_ids — an affine map (7a+3 mod 500,
+    degree-regular long cycles) overlaid with sparse quadratic merge
+    edges (a^2+1 mod 500), which at sf0.01 yields one 488-node giant
+    component: the shape iterative star-contraction has to work for.
+    Closure is quadratic-per-component — oracle-only; the Spark side
+    is the O(E log N)-round production operator (el/clustering.py)."""
+    from el.clustering import connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    e1 = d.select(did.alias("a"), ((did * 7 + 3) % 500).alias("b"))
+    e2 = d.where(did % 3 == 0).select(
+        did.alias("a"), ((did * did + 1) % 500).alias("b")
+    )
+    edges = (
+        e1.unionByName(e2)
+        .where(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return connected_components(edges).select(
+        F.col("mention_id").alias("node_id"), "cluster_id"
+    )
+
+
+@check(
     "er1_blocking_reduction",
     oracle="""
     WITH per AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
