@@ -53,6 +53,11 @@ HEADLINE_OPTIONAL = [
     "tx1_language_id",
     "tx2_quality_score",
     "tx5_winnow_fingerprints",
+    # crawl-hygiene ops + oracled CC kernel (r3)
+    "tx6_url_canonicalize",
+    "tx7_repetition_stats",
+    "dd6_chunk_exact_dedup",
+    "j7_connected_components",
     "a4_grouped_vector_centroid",
     "f5_jaro_winkler_parts",
     "st2_tumbling_window_counts",

@@ -609,3 +609,51 @@ def embedding_neardup_pairs(
         .where(cosine_expr(F.col("a_v"), F.col("b_v")) >= threshold)
         .select("a_id", "b_id")
     )
+
+
+# -- near-dup clustering (pairs -> equivalence classes) -------------------
+
+
+def neardup_doc_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+    method: str = "minhash",
+    **jaccard_kwargs,
+) -> DataFrame:
+    """Corpus dedup end-to-end: near-dup PAIRS are not yet dedupable —
+    near-duplication is transitive in practice (A~B, B~C chains), so
+    keep/drop decisions need the equivalence CLASS. Composes
+    ``ngram_jaccard_pairs`` with the iterative connected-components
+    operator (el/clustering.py) and returns ``(id, cluster_id)`` for
+    every document that has at least one near-dup, with
+    ``cluster_id = min member id`` (the deterministic keeper under
+    keep-lowest survivorship; docs absent from the output are unique
+    and survive trivially).
+
+    Scale shape: candidates from LSH banding (linear), exact verify
+    per candidate, then O(log N) star-contraction rounds on an edge
+    set that is near-dup-sparse — each stage is the 100 TB form, no
+    quadratic anywhere (``method="exact"`` remains the small-scale
+    oracle baseline)."""
+    from el.clustering import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        block_col=block_col,
+        n=n,
+        threshold=threshold,
+        method=method,
+        **jaccard_kwargs,
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    return connected_components(edges).select(
+        F.col("mention_id").alias(id_col), "cluster_id"
+    )

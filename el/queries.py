@@ -1566,6 +1566,58 @@ def dd6_chunk_exact_dedup(spark, sf_dir):
 
 
 @check(
+    "dd7_neardup_doc_clusters",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS grams
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> len(x) > 0) AS t
+            FROM documents WHERE text IS NOT NULL)
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / greatest(len(list_distinct(a.grams || b.grams)), 1) >= 0.5
+    ), und AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), rec AS (
+      WITH RECURSIVE reach(src, dst) AS (
+        SELECT s, d FROM und
+        UNION
+        SELECT r.src, u.d FROM reach r JOIN und u ON r.dst = u.s
+      ) SELECT * FROM reach
+    )
+    SELECT src AS doc_id, min(m) AS cluster_id FROM (
+      SELECT src, dst AS m FROM rec
+      UNION ALL SELECT DISTINCT s, s FROM und
+    ) GROUP BY src
+    """,
+)
+def dd7_neardup_doc_clusters(spark, sf_dir):
+    """End-to-end corpus dedup: near-dup pairs -> connected components
+    -> (doc_id, cluster_id = keeper). Exact-method/lang-blocked here so
+    the DuckDB oracle (dd4 pair SQL + recursive-CTE closure) is exact;
+    production uses method="minhash" unblocked (the linear scale path).
+    The fixture's near-dups are disjoint pairs, so transitivity (A~B~C
+    chains merging under one keeper) is pinned by the crafted-corpus
+    unit test in tests/test_dedup.py instead."""
+    from el.dedup import neardup_doc_clusters
+
+    return neardup_doc_clusters(
+        _t(spark, sf_dir, "documents"),
+        block_col="lang",
+        n=2,
+        threshold=0.5,
+        method="exact",
+    )
+
+
+@check(
     "j7_connected_components",
     oracle="""
     WITH e1 AS (

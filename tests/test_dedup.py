@@ -374,3 +374,38 @@ def test_chunk_exact_dupes_crafted(spark):
     # epsilon-zeta-eta-theta: doc1 once + doc5 twice -> n_occ 3, n_docs 2
     two = [r for r in out.values() if r.n_docs == 2]
     assert len(two) == 1 and two[0].n_occ == 3 and two[0].keeper_doc == 1
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    """A~B and B~C above threshold while A~C is below it: the CLUSTER
+    must still merge all three (near-duplication closes transitively),
+    which pairwise output alone cannot express."""
+    from el.dedup import neardup_doc_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (10, base + " alpha beta gamma delta"),
+        (11, base + " alpha beta epsilon zeta"),   # near 10 and 12
+        (12, base + " theta iota epsilon zeta"),   # near 11, far from 10
+        (13, "completely different text about spark shuffles and joins"),
+        (14, "completely different text about spark shuffles and joins too"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = neardup_doc_clusters(
+        df, n=2, threshold=0.6, method="exact"
+    ).collect()
+    cl = {r.doc_id: r.cluster_id for r in out}
+    # chain 10-11-12 merges under keeper 10 even though J(10,12) < thr
+    assert cl[10] == cl[11] == cl[12] == 10
+    assert cl[13] == cl[14] == 13
+    # sanity: the chain premise holds (10~12 really is sub-threshold)
+    from el.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold=0.6, method="exact"
+        ).collect()
+    }
+    assert (10, 11) in pairs and (11, 12) in pairs
+    assert (10, 12) not in pairs
