@@ -43,6 +43,14 @@ class PipelineConfig:
     # the corpus): bounds the fit-once step at 100x scale; None = no
     # cap. Model ARTIFACTS are unaffected in shape either way.
     fit_sample_max: int | None = 100_000
+    # crawl-hygiene ingest gate (r3) — all OFF by default (the F1/e2e
+    # gates run on the curated fixture); production crawls enable:
+    # dedup by CANONICAL url (tracking params / www / default ports /
+    # fragments collapse into one key) instead of the raw url,
+    canonical_url_dedup: bool = False
+    # and drop pages failing repetition/quality thresholds
+    min_distinct_word_ratio: float | None = None
+    max_dup_2gram: float | None = None
 
 
 def dedup_latest(pages: DataFrame) -> DataFrame:
@@ -57,12 +65,72 @@ def dedup_latest(pages: DataFrame) -> DataFrame:
     )
 
 
+def hygiene_stage(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Optional crawl-hygiene ingest gate, applied BEFORE extraction.
+
+    Scale discipline: the repetition filters are computed INLINE as
+    array expressions (1 - array_distinct/size over tokens / 2-grams)
+    — per-row in the scan stage, whole-stage codegen, ZERO shuffle —
+    unlike the explode->groupBy analytics op (el.textops
+    .repetition_stats), which exists to report full per-doc stats
+    including top-word share. Same formulas, same values; different
+    physical shape because a filter must not cost an aggregation at
+    crawl scale. Canonical-url dedup replaces the raw-url recrawl
+    dedup key with ``canonicalize_url(url)`` (same latest-wins
+    window)."""
+    from el.textops import canonicalize_url, tokens_of
+
+    out = pages
+    if cfg.canonical_url_dedup:
+        w = Window.partitionBy("_curl").orderBy(
+            F.col("warc_ts").desc(), F.xxhash64("html").asc()
+        )
+        out = (
+            out.withColumn("_curl", canonicalize_url(F.col("url")))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_curl")
+        )
+    if (
+        cfg.min_distinct_word_ratio is not None
+        or cfg.max_dup_2gram is not None
+    ):
+        toks = tokens_of(F.col("text"))
+        n = F.size(toks).cast("double")
+        if cfg.min_distinct_word_ratio is not None:
+            dwr = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+                n, F.lit(1.0)
+            )
+            out = out.where(dwr >= cfg.min_distinct_word_ratio)
+        if cfg.max_dup_2gram is not None:
+            # length clamped >= 0: when() does not short-circuit its
+            # branches, and slice() throws on negative lengths
+            glen = F.greatest(F.size(toks) - 1, F.lit(0))
+            grams = F.zip_with(
+                F.slice(toks, 1, glen),
+                F.slice(toks, 2, glen),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+            ng = F.size(grams).cast("double")
+            dup = F.when(
+                F.size(toks) < 2, F.lit(0.0)
+            ).otherwise(
+                F.lit(1.0)
+                - F.size(F.array_distinct(grams)).cast("double") / ng
+            )
+            out = out.where(dup <= cfg.max_dup_2gram)
+    return out
+
+
 def mentions_stage(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Dedup -> lang/null gate -> EXTRACT_SPEC v1 -> mention rows.
+    """Hygiene gate -> dedup -> lang/null gate -> EXTRACT_SPEC v1 ->
+    mention rows.
 
     Column-pruning discipline: ``html`` is only referenced here; every
     later stage sees mention-level columns only."""
-    gated = dedup_latest(pages).where(F.col("lang").isin(*cfg.langs))
+    gated = dedup_latest(hygiene_stage(pages, cfg)).where(
+        F.col("lang").isin(*cfg.langs)
+    )
     extracted = add_extracted_text(gated)
     return extract_mentions(extracted)
 

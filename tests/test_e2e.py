@@ -91,3 +91,67 @@ def test_blocking_reduction_ratio_exact(spark):
     r = blocking_reduction_ratio(df, "blk").collect()[0]
     assert (r.n_rows, r.cand_pairs, r.all_pairs) == (6, 4, 15)
     assert abs(r.reduction_ratio - (1.0 - 4.0 / 15.0)) < 1e-12
+
+
+def test_hygiene_stage_gates(spark):
+    """Crawl-hygiene ingest gate: canonical-url dedup collapses
+    tracking-param/www/port variants (latest warc_ts wins), repetition
+    filters drop spam; defaults leave the corpus untouched."""
+    import datetime as dt
+
+    from el.pipeline import PipelineConfig, hygiene_stage
+
+    ts = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # three crawls of ONE canonical page (tracking noise + www +
+        # default port), distinct raw urls; latest is u3
+        ("http://example.com/a?utm_source=x", ts(1), b"h1",
+         "alpha beta gamma delta epsilon", "en"),
+        ("https://www.example.com/a", ts(2), b"h2",
+         "alpha beta gamma delta epsilon", "en"),
+        ("http://example.com:80/a", ts(3), b"h3",
+         "alpha beta gamma delta epsilon", "en"),
+        # clean page
+        ("http://other.org/b", ts(1), b"h4",
+         "the quick brown fox jumps over a lazy dog", "en"),
+        # spam: one word repeated (distinct ratio 0.125, dup-2gram 6/7)
+        ("http://spam.net/c", ts(1), b"h5",
+         "buy buy buy buy buy buy buy now", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    # defaults: pass-through
+    assert hygiene_stage(pages, PipelineConfig()).count() == 5
+
+    cfg = PipelineConfig(
+        canonical_url_dedup=True,
+        min_distinct_word_ratio=0.3,
+        max_dup_2gram=0.5,
+    )
+    kept = hygiene_stage(pages, cfg).collect()
+    urls = {r.url for r in kept}
+    assert urls == {"http://example.com:80/a", "http://other.org/b"}
+    # latest-wins on the canonical key: the ts(3) crawl survived
+    assert {r.html for r in kept} == {b"h3", b"h4"}
+
+
+def test_hygiene_stage_short_docs_survive_filters(spark):
+    """0/1-token pages must not crash the inline gram expressions
+    (slice length is clamped) and are kept by the dup-2gram filter
+    (no 2-grams -> repetition 0)."""
+    import datetime as dt
+
+    from el.pipeline import PipelineConfig, hygiene_stage
+
+    rows = [
+        ("u1", dt.datetime(2026, 1, 1), b"x", "", "en"),
+        ("u2", dt.datetime(2026, 1, 1), b"y", "word", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = PipelineConfig(max_dup_2gram=0.2)
+    assert hygiene_stage(pages, cfg).count() == 2
