@@ -190,3 +190,53 @@ def test_neardup_scale_paths_never_join_on_block_col(spark):
         assert "label" not in chunk.splitlines()[0]
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_hygiene_filters_are_shuffle_free(spark):
+    """The inline repetition filters must stay in the scan stage: no
+    Exchange anywhere in the filter-only plan (the canonical-url dedup
+    window is the only part of the hygiene gate allowed to shuffle)."""
+    from el.fixtures import gen_web_pages
+    from el.pipeline import PipelineConfig, hygiene_stage
+
+    pages = gen_web_pages(spark, 200)
+    cfg = PipelineConfig(min_distinct_word_ratio=0.1, max_dup_2gram=0.9)
+    plan = _plan(hygiene_stage(pages, cfg))
+    assert "Exchange" not in plan
+    # with canonical dedup on, exactly the one window shuffle appears
+    cfg2 = PipelineConfig(
+        canonical_url_dedup=True,
+        min_distinct_word_ratio=0.1,
+        max_dup_2gram=0.9,
+    )
+    plan2 = _plan(hygiene_stage(pages, cfg2))
+    assert plan2.count("Exchange hashpartitioning") == 1
+
+
+def test_canonicalize_url_projects_without_shuffle(spark):
+    from el.queries import REGISTRY
+
+    df = REGISTRY["tx6_url_canonicalize"].fn(spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan  # pure project over the scan
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in schema  # only doc_id + source read
+
+
+def test_chunk_dedup_partial_aggregates(spark):
+    """dd6 is the 100 TB shape: digests+ids shuffle, text never does.
+    countDistinct expands to the standard two-phase aggregate — an
+    exchange on (chunk_md5, doc_id) then one on (chunk_md5), each fed
+    by a map-side partial HashAggregate; both shuffle payloads are
+    fixed-width (digest, id), and the text column dies at the scan."""
+    from el.queries import REGISTRY
+
+    df = REGISTRY["dd6_chunk_exact_dedup"].fn(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    first = plan.index("Exchange hashpartitioning")
+    assert "partial_" in plan[first:], "map-side partial agg missing"
+    # text enters the Generate/Project but never a shuffle: both
+    # exchanges key on chunk_md5 (+doc_id), not text
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text#" not in seg.split(",", 2)[1]
