@@ -346,3 +346,51 @@ def ingest_pages_stream(
     return sink_to_catalog(
         mentions, catalog, "mentions_stream", checkpoint_dir
     )
+
+
+def stream_incremental_er(
+    spark,
+    src_dir: str,
+    catalog: HadoopParquetCatalog,
+    checkpoint_dir: str,
+    rc=None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous crawl ingestion: readStream(web_pages) ->
+    foreachBatch -> el.incremental.incremental_update. Each
+    micro-batch of crawled pages is absorbed with delta-touched-block
+    scoring and marker-gated atomic commits — the streaming twin of
+    the batch absorb job.
+
+    Effectively-once without a transactional sink: a replayed
+    micro-batch's urls are already in the committed mentions set, so
+    the ingest anti-join absorbs the replay as a no-op (new_mentions
+    = 0, no tables change). The stream checkpoint only decides WHEN a
+    file is offered; the catalog's batch markers decide what is
+    committed. Returns (StreamingQuery, reports list) — one report
+    dict per non-empty micro-batch, appended as epochs complete."""
+    from el.incremental import incremental_update
+    from el.schemas import WEB_PAGES
+
+    reader = spark.readStream.schema(WEB_PAGES)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(src_dir)
+    reports: list[dict] = []
+
+    def absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = incremental_update(
+            batch_df.sparkSession, batch_df, catalog, rc
+        )
+        reports.append({"epoch": int(epoch_id), **out["report"]})
+
+    q = (
+        pages.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, reports

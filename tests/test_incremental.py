@@ -268,3 +268,59 @@ def test_incremental_crash_between_delta_writes_heals(
     # merged view has each mention exactly once (no orphan double-count)
     men = _read_with_deltas(spark, cat, "mentions")
     assert men.count() == men.select("mention_id").distinct().count()
+
+
+def test_streaming_absorb_equals_direct_absorb(
+    spark, tmp_path_factory, rc
+):
+    """The streaming bridge (readStream -> foreachBatch ->
+    incremental_update) must leave the catalog in exactly the state a
+    direct batch absorb produces, and a replay of the same files (new
+    stream checkpoint, same catalog) must absorb nothing new."""
+    import shutil
+
+    from el.streaming import stream_incremental_er
+
+    all_pages = gen_web_pages(spark, 240).localCheckpoint()
+    split = F.pmod(F.xxhash64("url"), F.lit(10)) < 7
+    batch1, batch2 = all_pages.where(split), all_pages.where(~split)
+
+    mdir = str(tmp_path_factory.mktemp("models"))
+    rc_s = RunConfig(
+        run_id="inc", n_score_chunks=2, pipeline=rc.pipeline,
+        model_dir=mdir,
+    )
+    cat_a = HadoopParquetCatalog(str(tmp_path_factory.mktemp("direct")))
+    run_checkpointed(spark, batch1, cat_a, rc_s, resume=False)
+    # identical starting state for the streaming catalog
+    b_root = str(tmp_path_factory.mktemp("stream")) + "/cat"
+    shutil.copytree(cat_a.root, b_root)
+    cat_b = HadoopParquetCatalog(b_root)
+
+    # direct absorb
+    direct = incremental_update(spark, batch2, cat_a, rc_s)
+
+    # streaming absorb of the same delta
+    src = str(tmp_path_factory.mktemp("src"))
+    batch2.write.mode("overwrite").parquet(src)
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    q, reports = stream_incremental_er(spark, src, cat_b, ckpt, rc_s)
+    q.awaitTermination()
+    assert len(reports) == 1
+    assert reports[0]["new_mentions"] == direct["report"]["new_mentions"] > 0
+
+    def cluster_set(cat):
+        return {
+            (r.mention_id, r.cluster_id)
+            for r in cat.read(spark, "clusters").collect()
+        }
+
+    assert cluster_set(cat_a) == cluster_set(cat_b)
+
+    # replay: fresh stream checkpoint re-delivers the same files; the
+    # ingest anti-join must absorb them as a no-op
+    ckpt2 = str(tmp_path_factory.mktemp("ckpt2"))
+    q2, reports2 = stream_incremental_er(spark, src, cat_b, ckpt2, rc_s)
+    q2.awaitTermination()
+    assert len(reports2) == 1 and reports2[0]["new_mentions"] == 0
+    assert cluster_set(cat_b) == cluster_set(cat_a)
