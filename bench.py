@@ -142,6 +142,25 @@ def bench_pipeline(spark, sf: float) -> tuple[dict, dict]:
     pages.count()
     times["pipeline_gen"] = round(time.time() - t, 3)
 
+    # crawl-hygiene ingest gate, measured standalone with every knob
+    # on (canonical-url dedup window + inline zero-shuffle repetition
+    # filters); thresholds chosen to pass the curated corpus through,
+    # so this measures the gate's cost, not a different corpus
+    from el.pipeline import hygiene_stage
+
+    t = time.time()
+    _materialize(
+        hygiene_stage(
+            pages,
+            PipelineConfig(
+                canonical_url_dedup=True,
+                min_distinct_word_ratio=0.05,
+                max_dup_2gram=0.98,
+            ),
+        )
+    )
+    times["pipeline_hygiene"] = round(time.time() - t, 3)
+
     cfg = PipelineConfig()
     # model fit is its OWN entry (VERDICT r2 #2/#3): production runs
     # fit once and load persisted artifacts (el.runner), so the main

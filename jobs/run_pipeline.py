@@ -39,6 +39,11 @@ def main() -> None:
                     help="shared TF-IDF/LDA artifact dir (fit-once)")
     ap.add_argument("--evaluate", action="store_true",
                     help="compute pairwise P/R/F1 against fixture labels")
+    # crawl-hygiene ingest gate (off by default; production crawls)
+    ap.add_argument("--canonical-url-dedup", action="store_true",
+                    help="dedup recrawls by canonicalize_url(url)")
+    ap.add_argument("--min-distinct-word-ratio", type=float, default=None)
+    ap.add_argument("--max-dup-2gram", type=float, default=None)
     ap.add_argument("--master", default=None,
                     help="override master (else spark-submit's, else local)")
     args = ap.parse_args()
@@ -57,7 +62,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     cfg = PipelineConfig(
-        use_lsh=not args.no_lsh, use_topics=not args.no_topics
+        use_lsh=not args.no_lsh,
+        use_topics=not args.no_topics,
+        canonical_url_dedup=args.canonical_url_dedup,
+        min_distinct_word_ratio=args.min_distinct_word_ratio,
+        max_dup_2gram=args.max_dup_2gram,
     )
     rc = RunConfig(
         run_id=args.run_id,

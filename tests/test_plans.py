@@ -216,6 +216,11 @@ def test_hygiene_filters_are_shuffle_free(spark):
 def test_canonicalize_url_projects_without_shuffle(spark):
     from el.queries import REGISTRY
 
+    # another module's persisted read of the same parquet would be
+    # cache-substituted into this plan (CacheManager matches equivalent
+    # sub-plans), making ReadSchema show the cache's full column set —
+    # audit the real scan, not test-order-dependent cache state
+    spark.catalog.clearCache()
     df = REGISTRY["tx6_url_canonicalize"].fn(spark, SF)
     plan = _plan(df)
     assert "Exchange" not in plan  # pure project over the scan
