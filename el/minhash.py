@@ -211,6 +211,10 @@ def lsh_band_keys(
     1-(1-s^rows)^bands (defaults: s50 ~= 0.5).
     """
     seeds = _band_seeds(rows, bands, seed)
+    # NOTE: no scatter_small here (unlike dd2's standalone path): at
+    # fixture scale the stage is output/Arrow-bound, not kernel-bound
+    # (measured 1.5 s with or without the fan-out), so the extra
+    # repartition shuffle of mention contexts buys nothing
     cols = mentions.select("mention_id", "url", text_col)
 
     def gen(batches):
