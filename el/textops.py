@@ -156,11 +156,15 @@ def canonicalize_url(col: Column) -> Column:
     - trailing slashes stripped from the path.
 
     Inputs without a ``scheme://`` prefix are returned lower/trimmed
-    as-is (relative URLs have no canonical authority). Pure builtin
-    composition — whole-stage codegen, no Python. At crawl scale this
-    runs in the scan stage; the canonical string (not the raw URL) is
-    the dedup/groupBy key, so the shuffle carries one normalized key
-    per page."""
+    as-is (relative URLs have no canonical authority). Outputs are
+    DEDUP KEYS, not URLs — they carry no scheme, so re-canonicalizing
+    an output takes the no-scheme branch; apply once to raw urls.
+    Pure builtin composition — whole-stage codegen, no Python. At
+    crawl scale this runs in the scan stage; the canonical string
+    (not the raw URL) is the dedup/groupBy key, so the shuffle
+    carries one normalized key per page. Contract pinned by the
+    variant-invariance test (tests/test_textops.py): every noise
+    variant of a page maps to one key, distinct pages stay distinct."""
     u = F.regexp_replace(col, "#.*", "")
     host = F.lower(F.regexp_extract(u, _SCHEME_HOST, 1))
     host = F.regexp_replace(

@@ -151,3 +151,51 @@ def test_scrub_pii_crafted(spark):
     assert (got[3].n_emails, got[3].n_phones) == (2, 1)
     assert got[3].text_scrubbed == "twice: <EMAIL> <EMAIL>, phone <PHONE>."
     assert (got[4].n_emails, got[4].n_phones) == (0, 0)
+
+
+def test_canonicalize_url_variant_invariance(spark):
+    """Contract: every noise variant of a URL (scheme case, www,
+    default port, tracking params, fragment, trailing slash) maps to
+    the SAME canonical key, and distinct pages keep distinct keys.
+    200 seeded random cases, one Spark job."""
+    import random
+
+    from el.textops import canonicalize_url
+
+    rng = random.Random(42)
+    rows = []
+    for base_id in range(200):
+        host = f"sub{rng.randrange(50)}.site{base_id}.org"
+        path = "/" + "/".join(
+            rng.choice(["A", "b", "Cc", "d9"]) for _ in range(rng.randrange(1, 4))
+        )
+        keep_q = f"id={base_id}" if rng.random() < 0.5 else ""
+        for variant in range(3):
+            scheme = rng.choice(["http://", "https://", "HTTP://", "HTTPS://"])
+            www = rng.choice(["", "www.", "WWW."])
+            port = rng.choice(["", ":80", ":443"])
+            trail = rng.choice(["", "/", "//"])
+            noise = rng.choice(
+                ["", "utm_source=x", "fbclid=zzz", "utm_a=1&gclid=2"]
+            )
+            q = "&".join(p for p in (noise, keep_q) if p)
+            frag = rng.choice(["", "#top", "#a/b?c"])
+            url = f"{scheme}{www}{host}{port}{path}{trail}"
+            if q:
+                url += f"?{q}"
+            url += frag
+            rows.append((base_id, variant, url))
+    df = spark.createDataFrame(rows, "base long, variant long, url string")
+    got = df.select(
+        "base", "variant", canonicalize_url(F.col("url")).alias("c")
+    ).collect()
+    by_base = {}
+    for r in got:
+        by_base.setdefault(r.base, set()).add(r.c)
+    # all variants of one page collapse to exactly one key
+    assert all(len(v) == 1 for v in by_base.values()), {
+        k: v for k, v in by_base.items() if len(v) != 1
+    }
+    # distinct pages stay distinct
+    keys = [next(iter(v)) for v in by_base.values()]
+    assert len(set(keys)) == len(keys)
