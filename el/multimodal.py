@@ -203,3 +203,157 @@ def feature_stub(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"blob_id": ids, "features": feats})
 
     return blobs.mapInPandas(gen, schema=FEATURES_SCHEMA)
+
+
+# -- resize (decode -> nearest-neighbor -> re-encode) --------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+
+def resize_pixels(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize: source index
+    ``(r*in_h)//out_h, (c*in_w)//out_w`` — integer arithmetic only, so
+    results are bit-identical everywhere. Pure function shared by the
+    Spark kernel and the pytest oracle."""
+    in_h, in_w = px.shape
+    r_idx = (np.arange(out_h, dtype=np.int64) * in_h) // out_h
+    c_idx = (np.arange(out_w, dtype=np.int64) * in_w) // out_w
+    return px[np.ix_(r_idx, c_idx)]
+
+
+def encode_img1(px: np.ndarray) -> bytes:
+    """Re-encode a pixel array as an IMG1 blob. The payload carries
+    exactly width*height bytes, so ``decode_pixels(encode_img1(px))
+    == px`` (the tiling in the decode spec is the identity here)."""
+    h, w = px.shape
+    return MAGIC + struct.pack("<II", w, h) + px.astype(np.uint8).tobytes()
+
+
+def resize_images(
+    blobs: DataFrame, out_w: int = 16, out_h: int = 16
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode, one vectorized
+    mapInPandas pass (the thumbnail/normalize step of an image
+    training pipeline). Malformed blobs yield (content=NULL,
+    valid=false) — never an executor crash. Output blobs are valid
+    IMG1, so the result composes with image_features/resize again."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for bid, content in zip(pdf["blob_id"], pdf["content"]):
+                try:
+                    out = encode_img1(
+                        resize_pixels(decode_pixels(content), out_w, out_h)
+                    )
+                    rows.append((int(bid), out, out_w, out_h, True))
+                except ValueError:
+                    rows.append((int(bid), None, out_w, out_h, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["blob_id", "content", "width", "height", "valid"],
+            )
+
+    return blobs.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+# -- video frame sampling (VID1; UDTF-shaped 1 -> N) ---------------------
+
+VID_MAGIC = b"VID1"
+
+# VID1 spec (synthetic, deterministic per id):
+#   bytes 0-3    magic  b'VID1'
+#   bytes 4-7    width  uint32 LE
+#   bytes 8-11   height uint32 LE
+#   bytes 12-15  n_frames uint32 LE
+#   bytes 16..   frames: n_frames contiguous w*h uint8 grayscale planes
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+
+def gen_video_blobs(
+    spark: SparkSession, n: int, w: int = 24, h: int = 16, frames: int = 12
+) -> DataFrame:
+    """Deterministic synthetic VID1 table (pure function of id)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                n_bytes = w * h * frames
+                n_words = (n_bytes + 7) // 8
+                with np.errstate(over="ignore"):
+                    words = splitmix64(
+                        np.arange(n_words, dtype=np.uint64)
+                        + np.uint64(i) * np.uint64(0xD1B54A32D192ED03)
+                    )
+                payload = words.tobytes()[:n_bytes]
+                content = (
+                    VID_MAGIC + struct.pack("<III", w, h, frames) + payload
+                )
+                rows.append((int(i), "video", content))
+            yield pd.DataFrame(
+                rows, columns=["blob_id", "media_type", "content"]
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=BLOB_SCHEMA)
+
+
+def decode_frame(content, idx: int) -> np.ndarray:
+    """Decode one VID1 frame to an (h, w) uint8 array. Malformed or
+    out-of-range raises ValueError."""
+    b = bytes(content) if content is not None else b""
+    if len(b) < 16 or b[:4] != VID_MAGIC:
+        raise ValueError("not a VID1 blob")
+    w, h, n_frames = struct.unpack("<III", b[4:16])
+    if w == 0 or h == 0 or not (0 <= idx < n_frames):
+        raise ValueError("bad VID1 dims or frame index")
+    fsz = w * h
+    start = 16 + idx * fsz
+    frame = np.frombuffer(b[start : start + fsz], dtype=np.uint8)
+    if frame.size < fsz:
+        raise ValueError("truncated VID1 payload")
+    return frame.reshape(h, w)
+
+
+def sample_frames(blobs: DataFrame, every_k: int = 4) -> DataFrame:
+    """UDTF-shaped 1 -> N op: emit every k-th frame of each VID1 blob
+    as a standalone IMG1 blob (frame 0 always included), so sampled
+    frames feed straight into image_features/resize_images. Malformed
+    blobs emit no rows (upstream extract_meta flags them). One
+    vectorized mapInPandas pass; at 100 TB the fan-out is bounded by
+    n_frames/k per row and the op is embarrassingly parallel."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for bid, content in zip(pdf["blob_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                if len(b) < 16 or b[:4] != VID_MAGIC:
+                    continue
+                n_frames = struct.unpack("<I", b[12:16])[0]
+                for idx in range(0, n_frames, every_k):
+                    try:
+                        frame = decode_frame(b, idx)
+                    except ValueError:
+                        break
+                    rows.append((int(bid), idx, encode_img1(frame)))
+            yield pd.DataFrame(
+                rows, columns=["blob_id", "frame_idx", "content"]
+            )
+
+    return blobs.mapInPandas(gen, schema=FRAMES_SCHEMA)

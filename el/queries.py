@@ -1697,6 +1697,29 @@ def er1_blocking_reduction(spark, sf_dir):
     return blocking_reduction_ratio(d, "lang")
 
 
+@check("mm3_resize_images", oracle=None)  # binary kernel, Spark-side only
+def mm3_resize_images(spark, sf_dir):
+    """Decode -> nearest-neighbor resize -> IMG1 re-encode, then the
+    histogram features of the thumbnails (proves the resized blobs
+    compose with the rest of the image pipeline)."""
+    from el.multimodal import gen_blobs, image_features, resize_images
+
+    thumbs = resize_images(gen_blobs(spark, 300), out_w=8, out_h=8)
+    return image_features(
+        thumbs.where(F.col("valid")).select("blob_id", "content")
+    )
+
+
+@check("mm4_sample_frames", oracle=None)  # binary kernel, Spark-side only
+def mm4_sample_frames(spark, sf_dir):
+    """UDTF-shaped video frame sampling: every 4th VID1 frame emitted
+    as an IMG1 blob, reduced to histogram features."""
+    from el.multimodal import gen_video_blobs, image_features, sample_frames
+
+    frames = sample_frames(gen_video_blobs(spark, 100), every_k=4)
+    return image_features(frames.select("blob_id", "content"))
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 # ---------------------------------------------------------------------------

@@ -104,3 +104,54 @@ def test_image_features_end_to_end(spark):
         (r[0], list(r[1])) for r in prev
     ]
     feats.unpersist()
+
+
+def test_resize_matches_numpy_oracle(spark):
+    from el.multimodal import (
+        decode_pixels, gen_blobs, resize_images, resize_pixels,
+    )
+
+    blobs = gen_blobs(spark, 20)
+    raw = {r.blob_id: r.content for r in blobs.collect()}
+    out = {r.blob_id: r for r in resize_images(blobs, 8, 6).collect()}
+    assert set(out) == set(raw)
+    for bid, r in out.items():
+        assert r.valid and (r.width, r.height) == (8, 6)
+        got = decode_pixels(r.content)
+        want = resize_pixels(decode_pixels(raw[bid]), 8, 6)
+        assert got.shape == (6, 8)
+        assert (got == want).all()
+
+
+def test_resize_malformed_flagged_not_crashed(spark):
+    from el.multimodal import resize_images
+
+    rows = [(1, "image", b"NOPE" + b"\x00" * 20), (2, "image", None)]
+    df = spark.createDataFrame(rows, "blob_id long, media_type string, content binary")
+    out = {r.blob_id: r for r in resize_images(df).collect()}
+    assert not out[1].valid and out[1].content is None
+    assert not out[2].valid
+
+
+def test_frame_sampling_matches_direct_decode(spark):
+    from el.multimodal import (
+        decode_frame, decode_pixels, gen_video_blobs, sample_frames,
+    )
+
+    vids = gen_video_blobs(spark, 10, w=24, h=16, frames=10)
+    raw = {r.blob_id: r.content for r in vids.collect()}
+    frames = sample_frames(vids, every_k=4).collect()
+    got = {(r.blob_id, r.frame_idx): r.content for r in frames}
+    # frames 0, 4, 8 per blob
+    assert set(i for _, i in got) == {0, 4, 8}
+    assert len(got) == 30
+    for (bid, idx), content in got.items():
+        assert (decode_pixels(content) == decode_frame(raw[bid], idx)).all()
+
+
+def test_frame_sampling_skips_malformed(spark):
+    from el.multimodal import sample_frames
+
+    rows = [(1, "video", b"XXXX" + b"\x00" * 30), (2, "video", None)]
+    df = spark.createDataFrame(rows, "blob_id long, media_type string, content binary")
+    assert sample_frames(df).count() == 0
