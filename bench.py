@@ -113,10 +113,25 @@ def _ann3_prefit(spark, sf_dir):
     )
 
 
+def _mm_pipeline(spark, sf_dir):
+    """Multimodal decode->resize->features throughput at 20k blobs
+    (the registry mm2/mm3 checks run 300-blob correctness versions;
+    this measures the pipeline at a bench-scale blob count)."""
+    from pyspark.sql import functions as F
+
+    from el.multimodal import gen_blobs, image_features, resize_images
+
+    thumbs = resize_images(gen_blobs(spark, 20_000), out_w=16, out_h=16)
+    return image_features(
+        thumbs.where(F.col("valid")).select("blob_id", "content")
+    )
+
+
 # benched with non-REGISTRY configs (production regime vs oracle regime)
 EXTRA = {
     "dd5b_embedding_neardup_lsh_prod": _dd5b_prod,
     "ann3_ivf_topk_prefit": _ann3_prefit,
+    "mm_decode_resize_features_20k": _mm_pipeline,
 }
 
 PAGES_PER_SF = 60_000  # synthetic corpus size per unit sf
