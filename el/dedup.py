@@ -657,3 +657,44 @@ def neardup_doc_clusters(
     return connected_components(edges).select(
         F.col("mention_id").alias(id_col), "cluster_id"
     )
+
+
+def dedup_survivors(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Survivorship policy for corpus dedup: one keeper per near-dup
+    cluster — highest ``quality_col``, ties broken by lowest id (total
+    order, so the choice is deterministic across partitionings).
+    ``clusters`` is ``neardup_doc_clusters`` output; ``quality`` maps
+    id -> score (e.g. el.textops.quality_score). Returns
+    ``(cluster_id, survivor_id, n_members, best_quality)``.
+
+    Scale: one equi-join on id + one per-cluster window; the
+    row_number(1) filter compiles to WindowGroupLimit (rank pushdown),
+    so no cluster's full member list is ever rank-materialized."""
+    j = clusters.join(
+        quality.select(F.col(id_col), F.col(quality_col)), on=id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.select(
+            "cluster_id",
+            F.col(id_col),
+            F.col(quality_col),
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(wc).cast("long").alias("n_members"),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("survivor_id"),
+            "n_members",
+            F.col(quality_col).alias("best_quality"),
+        )
+    )

@@ -1697,6 +1697,88 @@ def er1_blocking_reduction(spark, sf_dir):
     return blocking_reduction_ratio(d, "lang")
 
 
+@check(
+    "dd8_dedup_survivors",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS grams
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> len(x) > 0) AS t
+            FROM documents WHERE text IS NOT NULL)
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / greatest(len(list_distinct(a.grams || b.grams)), 1) >= 0.5
+    ), und AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), rec AS (
+      WITH RECURSIVE reach(src, dst) AS (
+        SELECT s, d FROM und
+        UNION
+        SELECT r.src, u.d FROM reach r JOIN und u ON r.dst = u.s
+      ) SELECT * FROM reach
+    ), cl AS (
+      SELECT src AS doc_id, min(m) AS cluster_id FROM (
+        SELECT src, dst AS m FROM rec
+        UNION ALL SELECT DISTINCT s, s FROM und
+      ) GROUP BY src
+    ), b AS (
+      SELECT doc_id,
+             CAST(len({t}) AS DOUBLE) AS n_tokens,
+             CAST(len(text) AS DOUBLE) AS n_chars,
+             CAST(len(list_intersect({t}, {en})) AS DOUBLE) AS stop_hits,
+             CAST(len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                  AS DOUBLE) AS alnum_chars,
+             CAST(coalesce(list_aggregate(
+                    list_transform({t}, x -> len(x)), 'sum'), 0)
+                  AS DOUBLE) AS token_chars
+      FROM documents WHERE text IS NOT NULL
+    ), q AS (
+      SELECT doc_id,
+             0.3 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * (alnum_chars / greatest(n_chars, 1.0))
+             + 0.2 * (stop_hits / 10.0)
+             + 0.2 * (1.0 - least(abs(token_chars
+                      / greatest(n_tokens, 1.0) - 5.0) / 5.0, 1.0))
+               AS quality
+      FROM b
+    ), sel AS (
+      SELECT cl.cluster_id, cl.doc_id, q.quality,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY q.quality DESC, cl.doc_id ASC)
+               AS rn,
+             count(*) OVER (PARTITION BY cl.cluster_id) AS nm
+      FROM cl JOIN q ON cl.doc_id = q.doc_id
+    )
+    SELECT cluster_id, doc_id AS survivor_id,
+           CAST(nm AS BIGINT) AS n_members, quality AS best_quality
+    FROM sel WHERE rn = 1
+    """.format(t=_TOKS_SQL, en=_STOP_SQL["en"]),
+)
+def dd8_dedup_survivors(spark, sf_dir):
+    """Survivorship end of corpus dedup: near-dup clusters (dd7's
+    composition) joined with the tx2 quality score; the keeper per
+    cluster is argmax quality, ties -> min doc_id. DuckDB recomputes
+    the whole chain (closure + quality + window) independently."""
+    from el.dedup import dedup_survivors, neardup_doc_clusters
+    from el.textops import quality_score
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    clusters = neardup_doc_clusters(
+        docs, block_col="lang", n=2, threshold=0.5, method="exact"
+    )
+    quality = quality_score(docs.select("doc_id", "text")).select(
+        "doc_id", "quality"
+    )
+    return dedup_survivors(clusters, quality)
+
+
 @check("mm3_resize_images", oracle=None)  # binary kernel, Spark-side only
 def mm3_resize_images(spark, sf_dir):
     """Decode -> nearest-neighbor resize -> IMG1 re-encode, then the

@@ -409,3 +409,22 @@ def test_neardup_clusters_transitive_chain(spark):
     }
     assert (10, 11) in pairs and (11, 12) in pairs
     assert (10, 12) not in pairs
+
+
+def test_dedup_survivors_quality_and_ties(spark):
+    from el.dedup import dedup_survivors
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (8, 0.5)],
+        "doc_id long, quality double",
+    )
+    out = {r.cluster_id: r for r in dedup_survivors(clusters, quality).collect()}
+    # cluster 1: quality tie between 2 and 3 -> min id 2 wins
+    assert out[1].survivor_id == 2 and out[1].n_members == 3
+    assert out[1].best_quality == 0.9
+    # cluster 7: tie -> min id 7
+    assert out[7].survivor_id == 7 and out[7].n_members == 2
