@@ -357,3 +357,130 @@ def sample_frames(blobs: DataFrame, every_k: int = 4) -> DataFrame:
             )
 
     return blobs.mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
+# -- audio decode + frame features (AUD1) --------------------------------
+
+AUD_MAGIC = b"AUD1"
+
+# AUD1 spec (synthetic, deterministic per id):
+#   bytes 0-3    magic  b'AUD1'
+#   bytes 4-7    sample_rate uint32 LE
+#   bytes 8-11   n_samples   uint32 LE
+#   bytes 12..   samples: n_samples int16 LE PCM
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+        T.StructField("frame_rms", T.ArrayType(T.FloatType()), True),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+
+def gen_audio_blobs(
+    spark: SparkSession, n: int, sample_rate: int = 8000,
+    n_samples: int = 2048,
+) -> DataFrame:
+    """Deterministic synthetic AUD1 table (pure function of id)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                n_words = (n_samples * 2 + 7) // 8
+                with np.errstate(over="ignore"):
+                    words = splitmix64(
+                        np.arange(n_words, dtype=np.uint64)
+                        + np.uint64(i) * np.uint64(0xBF58476D1CE4E5B9)
+                    )
+                payload = words.tobytes()[: n_samples * 2]
+                content = (
+                    AUD_MAGIC
+                    + struct.pack("<II", sample_rate, n_samples)
+                    + payload
+                )
+                rows.append((int(i), "audio", content))
+            yield pd.DataFrame(
+                rows, columns=["blob_id", "media_type", "content"]
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=BLOB_SCHEMA)
+
+
+def decode_samples(content) -> tuple[int, np.ndarray]:
+    """Decode an AUD1 blob -> (sample_rate, float64 samples in
+    [-1, 1)). Pure numpy (int16 / 32768), no codec. Malformed input
+    raises ValueError (callers flag, never crash executors). Real
+    codec formats (mp3/flac/wav-pcm-float...) remain environment-
+    blocked exactly like decode_pixels_codec."""
+    b = bytes(content) if content is not None else b""
+    if len(b) < 12 or b[:4] != AUD_MAGIC:
+        raise ValueError("not an AUD1 blob")
+    sr, n = struct.unpack("<II", b[4:12])
+    if sr == 0 or n == 0:
+        raise ValueError("empty AUD1 stream")
+    raw = np.frombuffer(b[12:], dtype="<i2")
+    if raw.size < n:
+        raise ValueError("truncated AUD1 payload")
+    return int(sr), raw[:n].astype(np.float64) / 32768.0
+
+
+def audio_features(blobs: DataFrame, frame: int = 256) -> DataFrame:
+    """Decode -> per-blob audio features in one vectorized mapInPandas
+    pass: duration, global RMS/peak, zero-crossing rate, and a
+    ``frame_rms`` envelope (RMS per ``frame``-sample window, the
+    audio analogue of sample_frames). Malformed blobs yield
+    valid=false with NULL features — a bad row never kills the
+    executor. At 100 TB the op is embarrassingly parallel: no
+    shuffle, output is O(n_samples/frame) floats per row."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for bid, content in zip(pdf["blob_id"], pdf["content"]):
+                try:
+                    sr, x = decode_samples(content)
+                except ValueError:
+                    rows.append(
+                        (int(bid), None, None, None, None, None, None,
+                         False)
+                    )
+                    continue
+                n = x.size
+                nf = n // frame
+                fr = (
+                    np.sqrt(
+                        np.mean(
+                            x[: nf * frame].reshape(nf, frame) ** 2, axis=1
+                        )
+                    ).astype(np.float32)
+                    if nf
+                    else np.zeros(0, dtype=np.float32)
+                )
+                rows.append(
+                    (
+                        int(bid),
+                        sr,
+                        n / sr,
+                        float(np.sqrt(np.mean(x**2))),
+                        float(np.max(np.abs(x))),
+                        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))),
+                        fr,
+                        True,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "blob_id", "sample_rate", "duration_sec", "rms",
+                    "peak", "zcr", "frame_rms", "valid",
+                ],
+            )
+
+    return blobs.mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)

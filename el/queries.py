@@ -1802,6 +1802,86 @@ def mm4_sample_frames(spark, sf_dir):
     return image_features(frames.select("blob_id", "content"))
 
 
+@check("mm5_audio_features", oracle=None)  # binary kernel, Spark-side only
+def mm5_audio_features(spark, sf_dir):
+    """Audio decode -> frame features over AUD1 blobs (rounds out the
+    image/video multimodal surface); a malformed blob is appended to
+    pin the valid=false path in the driver row count."""
+    from el.multimodal import BLOB_SCHEMA, audio_features, gen_audio_blobs
+
+    bad = spark.createDataFrame(
+        [(10_000_000, "audio", bytearray(b"nope"))], BLOB_SCHEMA
+    )
+    blobs = gen_audio_blobs(spark, 200).unionByName(bad)
+    return audio_features(blobs)
+
+
+_LINK_NORM = "trim(regexp_replace(lower(p_name), '[^a-z0-9 ]', '', 'g'))"
+
+
+@check(
+    "lk1_link_part_names",
+    oracle="""
+    WITH L AS (
+      SELECT p_partkey AS l_id, p_brand, p_size, {norm} AS nm FROM part
+    ), R AS (
+      SELECT l_id AS r_id, p_brand, p_size,
+             trim(nm[1:len(nm)-1]) AS nm
+      FROM L WHERE len(nm) > 1
+    ), LK AS (
+      SELECT l_id, p_brand, p_size, nm,
+             string_split_regex(nm, ' +')[1][1:4] AS bk
+      FROM L
+    ), RK AS (
+      SELECT r_id, p_brand, p_size, nm,
+             string_split_regex(nm, ' +')[1][1:4] AS bk
+      FROM R
+    )
+    SELECT l.l_id, r.r_id,
+           round(jaro_winkler_similarity(l.nm, r.nm), 4) AS jw
+    FROM LK l JOIN RK r
+      ON l.p_brand = r.p_brand AND l.p_size = r.p_size AND l.bk = r.bk
+    WHERE round(jaro_winkler_similarity(l.nm, r.nm), 4) >= 0.95
+    """.format(norm=_LINK_NORM),
+)
+def lk1_link_part_names(spark, sf_dir):
+    """Two-table record linkage (el.linkage.link_tables), classic ER
+    shape: block on exact structured attributes (p_brand, p_size) plus
+    the fuzzy name's first-token prefix4, verify Jaro-Winkler >= 0.95.
+    Right table = the same parts with the name's last character
+    dropped (a deterministic perturbation both engines compute
+    identically), so every right row has a fuzzy-but-not-exact left
+    match (true pairs jw ~0.97+, same-block collisions ~0.9 — the
+    threshold is load-bearing). DuckDB recomputes the whole
+    block+verify chain independently with its own
+    jaro_winkler_similarity."""
+    from el.linkage import link_tables, normalize_name
+
+    p = _t(spark, sf_dir, "part")
+    nm = normalize_name(F.col("p_name"))
+    right = (
+        p.select(
+            F.col("p_partkey").alias("pk"),
+            "p_brand",
+            "p_size",
+            F.expr(
+                "substring(trim(regexp_replace(lower(p_name),"
+                " '[^a-z0-9 ]', '')), 1,"
+                " length(trim(regexp_replace(lower(p_name),"
+                " '[^a-z0-9 ]', ''))) - 1)"
+            ).alias("name"),
+        )
+        .where(F.length(nm) > 1)
+    )
+    return link_tables(
+        p, right,
+        left_id="p_partkey", right_id="pk",
+        left_name="p_name", right_name="name",
+        threshold=0.95, block_tokens=1, prefix_len=4,
+        block_on=(["p_brand", "p_size"], ["p_brand", "p_size"]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 # ---------------------------------------------------------------------------

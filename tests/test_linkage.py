@@ -1,0 +1,95 @@
+"""Two-table record linkage (el.linkage.link_tables)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from el.linkage import link_tables
+
+
+def _tables(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "ACME Corp", "US", 10),
+            (2, "Globex Inc", "US", 10),
+            (3, "Initech LLC", "DE", 20),
+            (4, "Umbrella Co", "FR", 30),
+        ],
+        "lid long, name string, country string, grp int",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, "acme corpo", "US", 10),    # fuzzy match of 1
+            (102, "globex incx", "US", 10),   # fuzzy match of 2
+            (103, "initech ltd", "DE", 20),   # weaker match of 3
+            (104, "wayne ent", "US", 10),     # no match
+            (105, "acme corpo", "GB", 10),    # name matches 1, attr doesn't
+        ],
+        "rid long, name string, country string, grp int",
+    )
+    return left, right
+
+
+def test_link_tables_block_on_and_threshold(spark):
+    left, right = _tables(spark)
+    out = {
+        (r.l_id, r.r_id): r.jw
+        for r in link_tables(
+            left, right, "lid", "rid", "name", "name",
+            threshold=0.9, block_tokens=1, prefix_len=4,
+            block_on=(["country", "grp"], ["country", "grp"]),
+        ).collect()
+    }
+    assert (1, 101) in out and out[(1, 101)] >= 0.9
+    assert (2, 102) in out
+    # attr mismatch blocks the GB acme even though the name is identical
+    assert (1, 105) not in out
+    # below threshold
+    assert (3, 103) not in out or out[(3, 103)] >= 0.9
+
+
+def test_link_tables_null_block_attr_matches_nothing(spark):
+    left, right = _tables(spark)
+    left_null = left.withColumn(
+        "country", F.when(F.col("lid") == 1, None).otherwise(F.col("country"))
+    )
+    out = link_tables(
+        left_null, right, "lid", "rid", "name", "name",
+        threshold=0.5, block_tokens=1, prefix_len=4,
+        block_on=(["country"], ["country"]),
+    ).where(F.col("l_id") == 1)
+    assert out.count() == 0
+
+
+def test_link_tables_explode_all_improves_recall(spark):
+    left = spark.createDataFrame(
+        [(1, "johann sebastian bach")], "lid long, name string"
+    )
+    right = spark.createDataFrame(
+        # first token differs entirely -> single leading-token key misses,
+        # but the 'sebastian'/'bach' token keys hit
+        [(9, "joh sebastian bach")], "rid long, name string"
+    )
+    single = link_tables(
+        left, right, "lid", "rid", "name", "name",
+        threshold=0.8, block_tokens=1, prefix_len=4,
+    )
+    multi = link_tables(
+        left, right, "lid", "rid", "name", "name",
+        threshold=0.8, block_tokens=1, prefix_len=4, explode_all=True,
+    )
+    assert single.count() == 0
+    assert multi.count() == 1
+
+
+def test_link_tables_cap_bounds_block_membership(spark):
+    # 30 identical-key rows per side; cap_k=5 bounds candidates at 25
+    rows = [(i, "dup name") for i in range(30)]
+    left = spark.createDataFrame(rows, "lid long, name string")
+    right = spark.createDataFrame(rows, "rid long, name string")
+    capped = link_tables(
+        left, right, "lid", "rid", "name", "name",
+        threshold=0.0, block_tokens=1, prefix_len=4, cap_k=5,
+    )
+    assert capped.count() == 25

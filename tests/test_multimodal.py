@@ -155,3 +155,49 @@ def test_frame_sampling_skips_malformed(spark):
     rows = [(1, "video", b"XXXX" + b"\x00" * 30), (2, "video", None)]
     df = spark.createDataFrame(rows, "blob_id long, media_type string, content binary")
     assert sample_frames(df).count() == 0
+
+
+def test_audio_features_match_pure_python_oracle(spark):
+    import numpy as np
+
+    from el.multimodal import audio_features, decode_samples, gen_audio_blobs
+
+    blobs = gen_audio_blobs(spark, 8, sample_rate=4000, n_samples=1024)
+    rows = {r.blob_id: r for r in audio_features(blobs, frame=128).collect()}
+    raw = {r.blob_id: bytes(r.content) for r in blobs.collect()}
+    assert len(rows) == 8
+    for bid, content in raw.items():
+        sr, x = decode_samples(content)
+        r = rows[bid]
+        assert r.valid and r.sample_rate == 4000
+        assert r.duration_sec == 1024 / 4000
+        assert abs(r.rms - float(np.sqrt(np.mean(x**2)))) < 1e-12
+        assert abs(r.peak - float(np.max(np.abs(x)))) < 1e-12
+        assert len(r.frame_rms) == 1024 // 128
+        f0 = float(np.sqrt(np.mean(x[:128] ** 2)))
+        assert abs(r.frame_rms[0] - f0) < 1e-6
+        zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        assert abs(r.zcr - zc) < 1e-12
+
+
+def test_audio_malformed_flagged_not_crashed(spark):
+    from el.multimodal import BLOB_SCHEMA, audio_features
+
+    bad = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(b"AUD1")),          # truncated header
+            (2, "audio", bytearray(b"IMG1" + b"\0" * 20)),  # wrong magic
+        ],
+        BLOB_SCHEMA,
+    )
+    rows = {r.blob_id: r for r in audio_features(bad).collect()}
+    assert not rows[1].valid and rows[1].rms is None
+    assert not rows[2].valid
+
+
+def test_audio_blobs_deterministic(spark):
+    from el.multimodal import gen_audio_blobs
+
+    a = {r.blob_id: bytes(r.content) for r in gen_audio_blobs(spark, 5).collect()}
+    b = {r.blob_id: bytes(r.content) for r in gen_audio_blobs(spark, 5).collect()}
+    assert a == b

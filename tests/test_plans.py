@@ -245,3 +245,17 @@ def test_chunk_dedup_partial_aggregates(spark):
     # exchanges key on chunk_md5 (+doc_id), not text
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         assert "text#" not in seg.split(",", 2)[1]
+
+
+def test_link_tables_plan_shape(spark):
+    """lk1's plan is the scale contract for two-table linkage: the
+    candidate join is an equi-join on the block key (never a
+    cartesian/nested-loop), and the Jaro-Winkler verify is ONE Arrow
+    boundary fed only distinct candidates."""
+    from el.queries import REGISTRY
+
+    df = REGISTRY["lk1_link_part_names"].fn(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("ArrowEvalPython") == 1
