@@ -58,6 +58,8 @@ HEADLINE_OPTIONAL = [
     "tx7_repetition_stats",
     "dd6_chunk_exact_dedup",
     "j7_connected_components",
+    # two-table record linkage (r3)
+    "lk1_link_part_names",
     "a4_grouped_vector_centroid",
     "f5_jaro_winkler_parts",
     "st2_tumbling_window_counts",
