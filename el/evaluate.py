@@ -118,3 +118,64 @@ def blocking_reduction_ratio(df: DataFrame, block_col: str) -> DataFrame:
             / half(F.col("n_rows")).cast("double")
         ).alias("reduction_ratio"),
     )
+
+
+def clustering_agreement(
+    a: DataFrame, b: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pair-counting agreement between two clusterings of the same id
+    set: Rand index and Adjusted Rand (Hubert & Arabie 1985), computed
+    from contingency sums — never by materializing the O(n^2) pair
+    set. Inputs are (id_col, cluster_id) frames; ids present in only
+    one clustering are ignored (inner join).
+
+    Scale: one equi-join on id, one groupBy on (cluster_a, cluster_b)
+    — linear shuffle volume of small integer keys — then three
+    one-row aggregates. Pair counts use exact integer arithmetic
+    (shiftright, the er1 discipline); the two final divisions are
+    single IEEE ops so the doubles are bit-stable across engines.
+    Returns one row: (n_docs, n_pairs, s_both, s_a, s_b, ri, ari)."""
+    ca = a.select(F.col(id_col).alias("_id"), F.col("cluster_id").alias("ca"))
+    cb = b.select(F.col(id_col).alias("_id"), F.col("cluster_id").alias("cb"))
+    cont = ca.join(cb, "_id").groupBy("ca", "cb").agg(F.count("*").alias("c"))
+
+    def pairs2(c):
+        return F.shiftright(c * (c - F.lit(1)), 1)
+
+    sab = cont.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(pairs2(F.col("c"))).cast("long").alias("s_both"),
+    )
+    sa = (
+        cont.groupBy("ca")
+        .agg(F.sum("c").alias("c"))
+        .agg(F.sum(pairs2(F.col("c"))).cast("long").alias("s_a"))
+    )
+    sb = (
+        cont.groupBy("cb")
+        .agg(F.sum("c").alias("c"))
+        .agg(F.sum(pairs2(F.col("c"))).cast("long").alias("s_b"))
+    )
+    one = sab.crossJoin(sa).crossJoin(sb)  # three 1-row frames
+    n_pairs = F.shiftright(F.col("n") * (F.col("n") - F.lit(1)), 1)
+    sboth_d = F.col("s_both").cast("double")
+    sa_d = F.col("s_a").cast("double")
+    sb_d = F.col("s_b").cast("double")
+    np_d = n_pairs.cast("double")
+    exp = sa_d * sb_d / np_d
+    den = (sa_d + sb_d) / F.lit(2.0) - exp
+    return one.select(
+        F.col("n").alias("n_docs"),
+        n_pairs.alias("n_pairs"),
+        "s_both",
+        "s_a",
+        "s_b",
+        (
+            (n_pairs + F.lit(2) * F.col("s_both") - F.col("s_a") - F.col("s_b"))
+            .cast("double")
+            / np_d
+        ).alias("ri"),
+        F.when(den == 0.0, F.lit(None).cast("double"))
+        .otherwise((sboth_d - exp) / den)
+        .alias("ari"),
+    )

@@ -1565,9 +1565,9 @@ def dd6_chunk_exact_dedup(spark, sf_dir):
     return chunk_exact_dupes(d, id_col="doc_id", text_col="text", k=4)
 
 
-@check(
-    "dd7_neardup_doc_clusters",
-    oracle="""
+# shared by dd7/er2: (doc_id, cluster_id) for every edge-connected doc
+# — dd4's exact pair SQL at threshold 0.5 + a recursive-CTE closure
+_NEARDUP_CL_SQL = """
     WITH g AS (
       SELECT doc_id, lang,
              list_distinct(list_transform(
@@ -1596,8 +1596,10 @@ def dd6_chunk_exact_dedup(spark, sf_dir):
       SELECT src, dst AS m FROM rec
       UNION ALL SELECT DISTINCT s, s FROM und
     ) GROUP BY src
-    """,
-)
+"""
+
+
+@check("dd7_neardup_doc_clusters", oracle=_NEARDUP_CL_SQL)
 def dd7_neardup_doc_clusters(spark, sf_dir):
     """End-to-end corpus dedup: near-dup pairs -> connected components
     -> (doc_id, cluster_id = keeper). Exact-method/lang-blocked here so
@@ -1695,6 +1697,73 @@ def er1_blocking_reduction(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return blocking_reduction_ratio(d, "lang")
+
+
+@check(
+    "er2_clustering_agreement",
+    oracle="""
+    WITH nd AS ({nd}
+    ), d AS (
+      SELECT doc_id, source FROM documents WHERE text IS NOT NULL
+    ), ca AS (
+      SELECT doc_id, source AS ca FROM d
+    ), cb AS (
+      SELECT d.doc_id, coalesce(nd.cluster_id, d.doc_id) AS cb
+      FROM d LEFT JOIN nd ON d.doc_id = nd.doc_id
+    ), cont AS (
+      SELECT ca.ca, cb.cb, count(*) AS c
+      FROM ca JOIN cb ON ca.doc_id = cb.doc_id GROUP BY ca.ca, cb.cb
+    ), sab AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum((c*(c-1)) >> 1) AS BIGINT) AS s_both
+      FROM cont
+    ), sa AS (
+      SELECT CAST(sum((c*(c-1)) >> 1) AS BIGINT) AS s_a
+      FROM (SELECT sum(c) AS c FROM cont GROUP BY ca)
+    ), sb AS (
+      SELECT CAST(sum((c*(c-1)) >> 1) AS BIGINT) AS s_b
+      FROM (SELECT sum(c) AS c FROM cont GROUP BY cb)
+    )
+    SELECT n AS n_docs,
+           (n*(n-1)) >> 1 AS n_pairs,
+           s_both, s_a, s_b,
+           CAST(((n*(n-1)) >> 1) + 2*s_both - s_a - s_b AS DOUBLE)
+             / CAST((n*(n-1)) >> 1 AS DOUBLE) AS ri,
+           CASE WHEN (CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0
+                     - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+                       / CAST((n*(n-1)) >> 1 AS DOUBLE) = 0.0
+                THEN NULL
+                ELSE (CAST(s_both AS DOUBLE)
+                      - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+                        / CAST((n*(n-1)) >> 1 AS DOUBLE))
+                     / ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0
+                        - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+                          / CAST((n*(n-1)) >> 1 AS DOUBLE))
+           END AS ari
+    FROM sab, sa, sb
+    """.format(nd=_NEARDUP_CL_SQL),
+)
+def er2_clustering_agreement(spark, sf_dir):
+    """Pair-counting agreement (Rand / Adjusted Rand) between two
+    clusterings of documents: A = source groups ("are near-dups
+    concentrated within sources?"), B = near-dup clusters (dd7's
+    composition) with singletons mapped to themselves. Both engines
+    derive both clusterings independently and reduce them through
+    contingency sums — pair counts are exact integers (shiftright),
+    the final divisions single IEEE ops, so ri/ari hash-compare
+    bit-exactly."""
+    from el.dedup import neardup_doc_clusters
+    from el.evaluate import clustering_agreement
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    a = docs.select("doc_id", F.col("source").alias("cluster_id"))
+    nd = neardup_doc_clusters(
+        docs, block_col="lang", n=2, threshold=0.5, method="exact"
+    )
+    b = docs.select("doc_id").join(nd, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    return clustering_agreement(a, b)
 
 
 @check(
