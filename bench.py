@@ -50,6 +50,7 @@ HEADLINE_OPTIONAL = [
     "ann1_cosine_topk",
     "ann2_lsh_topk",
     "ann3_ivf_topk",
+    "ann4_sq_topk",
     "tx1_language_id",
     "tx2_quality_score",
     "tx5_winnow_fingerprints",

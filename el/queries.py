@@ -882,6 +882,19 @@ def ann3_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10, nprobe=2)
 
 
+@check("ann4_sq_topk", oracle=None)  # approximate by design
+def ann4_sq_topk(spark, sf_dir):
+    """int8 scalar-quantized top-k + exact re-rank (the 100 TB
+    memory-bandwidth variant: the candidate scan reads 4x less than
+    float32). Candidate scores are exact integer dots, so the result
+    is bit-deterministic across partitionings (pinned in
+    tests/test_similarity.py alongside the recall floor)."""
+    from el.similarity import sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops: text analysis (el.textops)
 # ---------------------------------------------------------------------------

@@ -406,3 +406,111 @@ def grouped_centroid(
         centroid(F.col(vec_col)).alias("centroid"),
         n_rows(F.col(vec_col)).alias("n_members"),
     )
+
+
+# -- int8 scalar-quantized (SQ) ANN --------------------------------------
+
+
+def sq_quantize(vecs: np.ndarray) -> np.ndarray:
+    """Symmetric per-vector int8 quantization: q = round(127*x/max|x|)
+    (zero vectors stay zero). Cosine is scale-invariant, so ranking by
+    cos(q_a, q_b) needs no scale bookkeeping at all. Pure function —
+    identical on every executor; shared by the Spark kernel and the
+    pytest oracle."""
+    m = np.abs(vecs).max(axis=1, keepdims=True)
+    m = np.maximum(m, 1e-30)
+    return np.clip(np.rint(vecs * (127.0 / m)), -127, 127).astype(np.int8)
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via int8 scalar quantization + exact re-rank
+    — the memory-bandwidth play at 100 TB: the candidate scan touches
+    4x less data than float32 (16x less than float64) and the int8
+    matmul is exact integer arithmetic, so candidate scores (and the
+    result) are bit-deterministic across partitionings.
+
+    Plan: queries are collected and quantized driver-side (the query
+    set is small by contract — same stance as brute_force_topk's
+    broadcast); ONE mapInPandas pass over the corpus quantizes each
+    Arrow batch and emits only the per-batch top-R candidates per
+    query (R = rerank_factor*k), a global window cuts those to the
+    true approx top-R, and an exact float cosine re-ranks R rows per
+    query down to k. No shuffle ever carries more than R rows per
+    query."""
+    from el.io import scatter_small
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    q_codes = sq_quantize(q_mat).astype(np.int32)
+    q_norm = np.maximum(
+        np.linalg.norm(q_codes.astype(np.float64), axis=1), 1e-30
+    )
+    r_per_q = max(k * rerank_factor, k)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = sq_quantize(vecs).astype(np.int32)
+            # exact integer dot; norms make it the int8-space cosine
+            dots = codes @ q_codes.T  # (n, Q), integer values
+            nrm = np.maximum(
+                np.linalg.norm(codes.astype(np.float64), axis=1), 1e-30
+            )
+            acos = dots / (nrm[:, None] * q_norm[None, :])
+            ids = pdf[id_col].to_numpy()
+            r = min(r_per_q, n)
+            # per-batch partial top-R per query (bounds emitted rows)
+            top = np.argpartition(-acos, r - 1, axis=0)[:r, :]  # (r, Q)
+            out_q = np.repeat(q_ids[None, :], r, axis=0).reshape(-1)
+            out_n = ids[top.reshape(-1)]
+            out_s = np.take_along_axis(acos, top, axis=0).reshape(-1)
+            yield pd.DataFrame(
+                {"q_id": out_q, "n_id": out_n, "acos": out_s}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType(), False),
+            T.StructField("n_id", T.LongType(), False),
+            T.StructField("acos", T.DoubleType(), False),
+        ]
+    )
+    cand = (
+        scatter_small(corpus.select(id_col, vec_col))
+        .mapInPandas(gen, schema=schema)
+        .where(F.col("q_id") != F.col("n_id"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("acos").desc(), F.col("n_id"))
+    cand = (
+        cand.withColumn("_r", F.row_number().over(wr))
+        .where(F.col("_r") <= r_per_q)
+        .select("q_id", "n_id")
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.join(c, on="n_id")
+        .join(F.broadcast(q), on="q_id")
+        .select(
+            "q_id", "n_id", cosine_expr(F.col("q_vec"), F.col("n_vec")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank")
+    )

@@ -115,3 +115,37 @@ def test_ivf_topk_recall_floor_and_determinism(spark, emb):
         ).collect()
     }
     assert a2 == approx
+
+
+def test_sq_topk_recall_and_partition_invariance(spark, emb):
+    """int8 SQ ANN: high recall vs brute force (64-dim quantization
+    error is small; rerank_factor*k exact re-rank absorbs it), and
+    bit-identical output across partitionings (candidate scores are
+    exact integer dots; ties broken by id)."""
+    from el.similarity import sq_topk
+
+    k = 10
+    q = emb.where("vec_id < 20")
+    exact = {(r.q_id, r.n_id) for r in brute_force_topk(emb, q, k=k).collect()}
+    got = {(r.q_id, r.n_id, r.rank) for r in sq_topk(emb, q, k=k).collect()}
+    pairs = {(a, b) for a, b, _ in got}
+    recall = len(exact & pairs) / len(exact)
+    assert recall >= 0.9, recall
+
+    got2 = {
+        (r.q_id, r.n_id, r.rank)
+        for r in sq_topk(emb.repartition(13), q, k=k).collect()
+    }
+    assert got == got2
+
+
+def test_sq_quantize_pure_function():
+    import numpy as np
+
+    from el.similarity import sq_quantize
+
+    v = np.array([[0.5, -1.0, 0.25], [0.0, 0.0, 0.0]])
+    q = sq_quantize(v)
+    assert q.dtype == np.int8
+    assert q[0].tolist() == [64, -127, 32]  # round(127*x/max|x|)
+    assert q[1].tolist() == [0, 0, 0]  # zero vector stays zero
