@@ -669,32 +669,43 @@ def dedup_survivors(
     cluster — highest ``quality_col``, ties broken by lowest id (total
     order, so the choice is deterministic across partitionings).
     ``clusters`` is ``neardup_doc_clusters`` output; ``quality`` maps
-    id -> score (e.g. el.textops.quality_score). Returns
-    ``(cluster_id, survivor_id, n_members, best_quality)``.
+    id -> score (e.g. el.textops.quality_score). Members with no
+    quality row still count (left join) and compete last
+    (nulls-last), so a coverage gap can't silently shrink a cluster.
+    Returns ``(cluster_id, survivor_id, n_members, best_quality)``.
 
-    Scale: one equi-join on id + one per-cluster window; the
-    row_number(1) filter compiles to WindowGroupLimit (rank pushdown),
-    so no cluster's full member list is ever rank-materialized."""
+    Scale: one equi-join on id + one per-cluster rank window with the
+    ``_rn == 1`` filter DIRECTLY above it, which compiles to
+    WindowGroupLimit (rank pushdown, plan-audited in test_dedup.py)
+    — no cluster's full member list is ever rank-materialized.
+    ``n_members`` comes from a separate partial-aggregated groupBy
+    (a count(*) analytic window between the filter and the rank
+    window would block the pushdown)."""
     j = clusters.join(
-        quality.select(F.col(id_col), F.col(quality_col)), on=id_col
+        quality.select(F.col(id_col), F.col(quality_col)),
+        on=id_col,
+        how="left",
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members")
     )
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col(quality_col).desc(), F.col(id_col).asc()
+        F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()
     )
-    wc = Window.partitionBy("cluster_id")
-    return (
+    keeper = (
         j.select(
             "cluster_id",
             F.col(id_col),
             F.col(quality_col),
             F.row_number().over(w).alias("_rn"),
-            F.count("*").over(wc).cast("long").alias("n_members"),
         )
         .where(F.col("_rn") == 1)
         .select(
             "cluster_id",
             F.col(id_col).alias("survivor_id"),
-            "n_members",
             F.col(quality_col).alias("best_quality"),
         )
+    )
+    return keeper.join(sizes, on="cluster_id").select(
+        "cluster_id", "survivor_id", "n_members", "best_quality"
     )

@@ -42,11 +42,13 @@ def _block_keys(
 ) -> DataFrame:
     """(id, norm, block_key) rows. Default: ONE structured key per
     record — any exact-match ``block_on`` attribute values plus the
-    first ``block_tokens`` tokens' ``prefix_len``-char prefixes
-    (typo-tolerant leading-token key), '|'-joined. ``explode_all=True``
-    is the recall-oriented multi-key variant: every token >= 3 chars
-    emits a key (el.blocking name_token style), at the cost of more
-    candidates."""
+    first ``min(block_tokens, available)`` tokens' ``prefix_len``-char
+    prefixes (typo-tolerant leading-token key), '|'-joined; a
+    single-token name still gets a key (only empty names drop).
+    ``explode_all=True`` is the recall-oriented multi-key variant:
+    every token >= 3 chars emits a key (el.blocking name_token
+    style — names whose tokens are all shorter emit none), at the
+    cost of more candidates."""
     extras = [F.col(c).cast("string") for c in (block_on or [])]
     norm = normalize_name(F.col(name_col)).alias("norm")
     toks = F.split(F.col("norm"), " +")
@@ -74,7 +76,7 @@ def _block_keys(
             )
             .dropDuplicates(["rid", "block_key"])
         )
-    return base.where(F.size(toks) >= block_tokens).select(
+    return base.where(F.length("norm") > 0).select(
         "rid",
         "norm",
         F.concat_ws(

@@ -470,7 +470,9 @@ def audio_features(blobs: DataFrame, frame: int = 256) -> DataFrame:
                         n / sr,
                         float(np.sqrt(np.mean(x**2))),
                         float(np.max(np.abs(x))),
-                        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))),
+                        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                        if n > 1
+                        else 0.0,  # a 1-sample stream has no crossings
                         fr,
                         True,
                     )

@@ -443,10 +443,29 @@ def sq_topk(
     query (R = rerank_factor*k), a global window cuts those to the
     true approx top-R, and an exact float cosine re-ranks R rows per
     query down to k. No shuffle ever carries more than R rows per
-    query."""
+    query.
+
+    Partition invariance hinges on ONE total order — (acos desc,
+    id asc) — applied both inside each batch and by the global
+    window: any globally-top-R row is top-R in its own batch under
+    the same order regardless of how rows landed in batches, so the
+    candidate set (and the result) is identical for every
+    partitioning. argpartition would break exactly this (ties at the
+    boundary cut arbitrarily), hence the lexsort; self-matches are
+    masked BEFORE the cut so a query's own row never displaces a
+    boundary candidate in just one partitioning."""
     from el.io import scatter_small
 
     qrows = queries.select(id_col, vec_col).collect()
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType(), False),
+            T.StructField("n_id", T.LongType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+        ]
+    )
+    if not qrows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
     q_codes = sq_quantize(q_mat).astype(np.int32)
@@ -471,15 +490,23 @@ def sq_topk(
             )
             acos = dots / (nrm[:, None] * q_norm[None, :])
             ids = pdf[id_col].to_numpy()
+            acos[ids[:, None] == q_ids[None, :]] = -np.inf  # self-matches
             r = min(r_per_q, n)
-            # per-batch partial top-R per query (bounds emitted rows)
-            top = np.argpartition(-acos, r - 1, axis=0)[:r, :]  # (r, Q)
-            out_q = np.repeat(q_ids[None, :], r, axis=0).reshape(-1)
-            out_n = ids[top.reshape(-1)]
-            out_s = np.take_along_axis(acos, top, axis=0).reshape(-1)
-            yield pd.DataFrame(
-                {"q_id": out_q, "n_id": out_n, "acos": out_s}
-            )
+            # per-batch partial top-R per query under the SAME total
+            # order as the global window: (acos desc, id asc)
+            outs = []
+            for j in range(len(q_ids)):
+                sel = np.lexsort((ids, -acos[:, j]))[:r]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": q_ids[j],
+                            "n_id": ids[sel],
+                            "acos": acos[sel, j],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
 
     schema = T.StructType(
         [

@@ -428,3 +428,20 @@ def test_dedup_survivors_quality_and_ties(spark):
     assert out[1].best_quality == 0.9
     # cluster 7: tie -> min id 7
     assert out[7].survivor_id == 7 and out[7].n_members == 2
+
+
+def test_dedup_survivors_rank_pushdown_and_left_join(spark):
+    from el.dedup import dedup_survivors
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    # doc 3 has no quality row: still counted, competes last
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9)], "doc_id long, quality double"
+    )
+    df = dedup_survivors(clusters, quality)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, "rank pushdown must fire"
+    r = df.collect()[0]
+    assert (r.survivor_id, r.n_members, r.best_quality) == (2, 3, 0.9)

@@ -33,20 +33,40 @@ def _tables(spark):
 
 def test_link_tables_block_on_and_threshold(spark):
     left, right = _tables(spark)
-    out = {
-        (r.l_id, r.r_id): r.jw
-        for r in link_tables(
-            left, right, "lid", "rid", "name", "name",
-            threshold=0.9, block_tokens=1, prefix_len=4,
-            block_on=(["country", "grp"], ["country", "grp"]),
-        ).collect()
-    }
+
+    def run(threshold):
+        return {
+            (r.l_id, r.r_id): r.jw
+            for r in link_tables(
+                left, right, "lid", "rid", "name", "name",
+                threshold=threshold, block_tokens=1, prefix_len=4,
+                block_on=(["country", "grp"], ["country", "grp"]),
+            ).collect()
+        }
+
+    out = run(0.9)
     assert (1, 101) in out and out[(1, 101)] >= 0.9
     assert (2, 102) in out
     # attr mismatch blocks the GB acme even though the name is identical
     assert (1, 105) not in out
-    # below threshold
-    assert (3, 103) not in out or out[(3, 103)] >= 0.9
+    # the weak pair sits at jw=0.9273 (DuckDB jaro_winkler_similarity
+    # agrees): present at 0.9, cut by 0.95 — the threshold is load-bearing
+    assert out[(3, 103)] == pytest.approx(0.9273, abs=1e-4)
+    assert (3, 103) not in run(0.95)
+
+
+def test_link_tables_single_token_names_link(spark):
+    # a single-token name must still get a block key at block_tokens=2
+    # (key from min(available, block_tokens) tokens; only empty drops)
+    left = spark.createDataFrame([(1, "ibm")], "lid long, name string")
+    right = spark.createDataFrame(
+        [(9, "ibm"), (10, "")], "rid long, name string"
+    )
+    out = link_tables(
+        left, right, "lid", "rid", "name", "name",
+        threshold=0.9, block_tokens=2, prefix_len=4,
+    ).collect()
+    assert [(r.l_id, r.r_id, r.jw) for r in out] == [(1, 9, 1.0)]
 
 
 def test_link_tables_null_block_attr_matches_nothing(spark):

@@ -201,3 +201,14 @@ def test_audio_blobs_deterministic(spark):
     a = {r.blob_id: bytes(r.content) for r in gen_audio_blobs(spark, 5).collect()}
     b = {r.blob_id: bytes(r.content) for r in gen_audio_blobs(spark, 5).collect()}
     assert a == b
+
+
+def test_audio_single_sample_stream_zcr_zero(spark):
+    import struct
+
+    from el.multimodal import AUD_MAGIC, BLOB_SCHEMA, audio_features
+
+    one = AUD_MAGIC + struct.pack("<II", 8000, 1) + struct.pack("<h", -5)
+    df = spark.createDataFrame([(1, "audio", bytearray(one))], BLOB_SCHEMA)
+    r = audio_features(df).collect()[0]
+    assert r.valid and r.zcr == 0.0 and r.frame_rms == []

@@ -149,3 +149,30 @@ def test_sq_quantize_pure_function():
     assert q.dtype == np.int8
     assert q[0].tolist() == [64, -127, 32]  # round(127*x/max|x|)
     assert q[1].tolist() == [0, 0, 0]  # zero vector stays zero
+
+
+def test_sq_topk_empty_queries_returns_empty(spark, emb):
+    from el.similarity import sq_topk
+
+    out = sq_topk(emb, emb.where("vec_id < 0"), k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["q_id", "n_id", "rank"]
+
+
+def test_sq_topk_all_ties_partition_invariant(spark):
+    """The adversarial tie case (300 identical vectors): every
+    candidate score ties, so the per-batch cut must use the same
+    (score desc, id asc) total order as the global window — the top-k
+    is then the k lowest ids for EVERY partitioning."""
+    from el.similarity import sq_topk
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(300)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = emb.where("vec_id = 0")
+    for src in (emb, emb.repartition(13), emb.repartition(3)):
+        got = sorted(
+            (r.rank, r.n_id) for r in sq_topk(src, q, k=10).collect()
+        )
+        assert got == [(r, r) for r in range(1, 11)], got
