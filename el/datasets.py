@@ -1,0 +1,100 @@
+"""Training-data set operations (task brief: ops a large-scale
+training-data pipeline needs): deterministic train/val/test splitting
+and context-window sequence packing.
+
+Both are pure projections/window ops over public-SQL-expressible
+primitives, so they carry full DuckDB value-hash oracles (ds1/ds2):
+
+- hash_split assigns each record a split by an md5-derived bucket of
+  its key — a pure function of (key, seed). No shuffle, no RNG state,
+  stable under corpus growth: a record's split never changes when
+  other records are added/removed (the property sample()/rand() lack,
+  and the reason leakage-free splits hash the KEY, not the row).
+- pack_sequences is concat-then-chunk packing (the GPT/T5-style data
+  layout: concatenate documents in a fixed order, slice into
+  fixed-size windows): each document's start offset is the running
+  token total before it within its partition, and its window/bin is
+  start // capacity. One window over (part_col) per partition — at
+  100 TB the packing order is per-partition (lang, shard, ...) by
+  contract, never a single global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key, seed: str = "", n_buckets: int = 10_000):
+    """Deterministic bucket in [0, n_buckets) from md5(key || seed).
+    Uses only cross-engine-stable primitives (md5 hex + base-16
+    conv), so a SQL oracle can reproduce it bit-for-bit."""
+    h = F.conv(F.substring(F.md5(F.concat(key, F.lit(seed))), 1, 8), 16, 10)
+    return (h.cast("long") % n_buckets).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: str = "",
+) -> DataFrame:
+    """Add a ``split`` column assigning each record to a named split
+    with the given weights (summing to ~1), keyed on ``key_col`` —
+    all records sharing a key land in the same split (dedup-safe:
+    split BY the dedup key and near-identical rows cannot straddle
+    train/test). Pure projection: the physical plan has no exchange
+    (plan-audited)."""
+    bucket = hash_bucket(F.col(key_col).cast("string"), seed)
+    n = 10_000
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = F.col("_bucket") < int(round(acc * n))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(names[-1])
+    )
+    return (
+        df.withColumn("_bucket", bucket)
+        .withColumn("split", expr)
+        .drop("_bucket")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    part_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Concat-then-chunk packing: within each ``part_col`` partition,
+    documents are laid out in (order_col, then order_col ties by that
+    column only — pass a unique column) order; each document gets
+    ``start`` = running token total before it, ``bin_id`` =
+    start // capacity and ``bin_offset`` = start % capacity. A
+    document may straddle a window boundary — that is the
+    concatenate-and-slice semantics, not first-fit bin packing (which
+    is inherently sequential and does not distribute).
+
+    Deterministic: the window order must be total — use a unique
+    ``order_col`` (doc_id). Adds start/bin_id/bin_offset."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn("start", start)
+        # integer `div`, never a double round-trip: exact at any scale
+        .withColumn("bin_id", F.expr(f"start div {int(capacity)}"))
+        .withColumn(
+            "bin_offset", (F.col("start") % capacity).cast("long")
+        )
+    )

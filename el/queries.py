@@ -1964,6 +1964,60 @@ def lk1_link_part_names(spark, sf_dir):
     )
 
 
+@check(
+    "ds1_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 10000 AS b
+          FROM documents)
+    """,
+)
+def ds1_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (el.datasets.hash_split):
+    md5-bucket of the key -> weight boundaries. DuckDB reproduces the
+    bucket bit-for-bit (md5 hex + base-16 int agree across engines),
+    so the assignment itself is value-hash checked, not just counts.
+    Plan is a pure projection — Exchange-free (plan-audited)."""
+    from el.datasets import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@check(
+    "ds2_pack_sequences",
+    oracle="""
+    SELECT doc_id, lang, n_chars, start,
+           start // 4096 AS bin_id, start % 4096 AS bin_offset
+    FROM (SELECT doc_id, lang, n_chars,
+                 CAST(coalesce(sum(n_chars) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start
+          FROM documents)
+    """,
+)
+def ds2_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing (el.datasets.pack_sequences):
+    per-lang layout ordered by doc_id; each doc's window = running
+    token total before it div capacity. n_chars stands in for the
+    token count (any length column works)."""
+    from el.datasets import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return pack_sequences(
+        d, token_col="n_chars", capacity=4096,
+        part_col="lang", order_col="doc_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 # ---------------------------------------------------------------------------

@@ -1,0 +1,84 @@
+"""Training-data set ops: deterministic splits and sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from el.datasets import hash_split, pack_sequences
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_hash_split_stable_under_growth(spark):
+    # a record's split is a pure function of its key: adding rows to
+    # the corpus never reassigns existing records (sample() cannot do
+    # this) — the leakage-safety property
+    base = spark.range(200).withColumnRenamed("id", "k")
+    grown = spark.range(400).withColumnRenamed("id", "k")
+    s1 = {r.k: r.split for r in hash_split(base, "k", WEIGHTS).collect()}
+    s2 = {r.k: r.split for r in hash_split(grown, "k", WEIGHTS).collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    # weights roughly respected at n=400
+    from collections import Counter
+    c = Counter(s2.values())
+    assert 0.7 <= c["train"] / 400 <= 0.9
+    assert c["val"] > 0 and c["test"] > 0
+
+
+def test_hash_split_same_key_same_split_and_seed_changes_it(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, payload string"
+    )
+    out = hash_split(df, "k", WEIGHTS).collect()
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r.k, set()).add(r.split)
+    assert all(len(v) == 1 for v in by_k.values())
+    # a different seed produces a different overall assignment
+    big = spark.range(500).withColumnRenamed("id", "k")
+    a = [r.split for r in hash_split(big, "k", WEIGHTS, seed="A")
+         .orderBy("k").collect()]
+    b = [r.split for r in hash_split(big, "k", WEIGHTS, seed="B")
+         .orderBy("k").collect()]
+    assert a != b
+
+
+def test_hash_split_plan_is_exchange_free(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    plan = (
+        hash_split(df, "k", WEIGHTS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_contiguous_and_capacity_math(spark):
+    rows = [(i, "en" if i % 2 else "fr", 100 + 7 * (i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, toks long")
+    out = pack_sequences(df, "toks", 256, "lang", "doc_id").collect()
+    by_lang = {}
+    for r in sorted(out, key=lambda r: (r.lang, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        run = 0
+        for r in rs:
+            assert r.start == run  # concat layout: no gaps, no overlap
+            assert r.bin_id == run // 256
+            assert r.bin_offset == run % 256
+            run += r.toks
+
+
+def test_pack_sequences_partition_invariant(spark):
+    rows = [(i, "en", 33) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, toks long")
+    a = sorted(
+        (r.doc_id, r.start, r.bin_id)
+        for r in pack_sequences(df, "toks", 128, "lang", "doc_id").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.start, r.bin_id)
+        for r in pack_sequences(
+            df.repartition(7), "toks", 128, "lang", "doc_id"
+        ).collect()
+    )
+    assert a == b
