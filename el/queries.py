@@ -2018,6 +2018,17 @@ def ds2_pack_sequences(spark, sf_dir):
     )
 
 
+@check("tx9_compression_ratio", oracle=None)  # zlib — no SQL oracle exists
+def tx9_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (pure function of the
+    utf-8 bytes -> deterministic; parity vs stdlib pinned in
+    tests/test_textops.py)."""
+    from el.textops import compression_ratio
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return compression_ratio(d)
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 # ---------------------------------------------------------------------------

@@ -336,3 +336,42 @@ def winnow_fingerprints(
     return cols.mapInPandas(gen, schema=schema).withColumn(
         "n_fp", F.size("fingerprints").cast("long")
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap
+    repetition/quality signal (highly repetitive or templated text
+    compresses far below ~0.4; high-entropy garbage sits near 1.0).
+    ``ratio = len(zlib.compress(utf8(text), level=6)) / len(utf8)``.
+
+    zlib level 6 output is a pure function of the bytes (stdlib,
+    same everywhere), so the column is deterministic across runs and
+    executors. One vectorized mapInPandas pass, no shuffle; rows-only
+    check (no SQL engine can reproduce zlib)."""
+    import zlib
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("ratio", T.DoubleType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, nb, ratio = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                ids.append(int(i))
+                nb.append(len(raw))
+                ratio.append(
+                    len(zlib.compress(raw, 6)) / len(raw) if raw else None
+                )
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": nb, "ratio": ratio}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)

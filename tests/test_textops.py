@@ -199,3 +199,25 @@ def test_canonicalize_url_variant_invariance(spark):
     # distinct pages stay distinct
     keys = [next(iter(v)) for v in by_base.values()]
     assert len(set(keys)) == len(keys)
+
+
+def test_compression_ratio_matches_stdlib_and_flags_repetition(spark):
+    import zlib
+
+    from el.textops import compression_ratio
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "spam " * 400),          # highly repetitive -> tiny ratio
+        (3, ""),                      # empty -> NULL ratio, 0 bytes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    for i, t in rows[:2]:
+        raw = t.encode("utf-8")
+        assert out[i].n_bytes == len(raw)
+        assert out[i].ratio == len(zlib.compress(raw, 6)) / len(raw)
+    # empty text: 0 bytes, NULL ratio (never a divide-by-zero)
+    assert out[3].n_bytes == 0 and out[3].ratio is None
+    # repetition separates hard from normal prose
+    assert out[2].ratio < 0.1 < out[1].ratio
