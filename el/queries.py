@@ -2029,6 +2029,28 @@ def tx9_compression_ratio(spark, sf_dir):
     return compression_ratio(d)
 
 
+@check("s7_warc_roundtrip", oracle=None)  # binary WARC files — no SQL oracle
+def s7_warc_roundtrip(spark, sf_dir):
+    """WARC source/sink round trip (el/warc.py): synthesize a small
+    deterministic crawl, sink it to per-record-gzipped WARC (the
+    Common Crawl layout), read it back through the binaryFile-based
+    source, and emit one row per record (url, warc_ts, html sha).
+    Byte-identity vs the native corpus is pinned in tests/test_warc.py."""
+    import tempfile
+
+    from el.fixtures import gen_web_pages
+    from el.warc import read_warc, write_warc
+
+    out = tempfile.mkdtemp(prefix="el_warc_q_")
+    pages = gen_web_pages(spark, 200, seed=7)
+    write_warc(pages, out, num_files=2).collect()
+    return (
+        read_warc(spark, out)
+        .select("url", "warc_ts", F.sha2(F.col("html"), 256).alias("html_sha"))
+        .orderBy("url", "warc_ts", "html_sha")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 # ---------------------------------------------------------------------------
