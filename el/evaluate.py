@@ -179,3 +179,54 @@ def clustering_agreement(
         .otherwise((sboth_d - exp) / den)
         .alias("ari"),
     )
+
+
+def pr_curve(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Precision/recall/F1 at every distinct score threshold (the
+    standard threshold-sweep PR curve over scored candidate pairs).
+
+    Shape for scale: collapse to DISTINCT thresholds first — a
+    partially-aggregated groupBy on the score key, linear in the pair
+    count — then run the cumulative window over the *threshold table*,
+    which is bounded by the number of distinct scores, never by the
+    pair count. For continuous scores at web scale, quantize upstream
+    (e.g. ``F.round(score, 4)``) so that table stays small; the
+    single-task unpartitioned window is over the bounded table only,
+    by construction.
+
+    Doubles are produced with the same operand order as the DuckDB
+    oracle (er3b) so precision/recall/f1 hash-match bit-exactly.
+    Returns (threshold, tp, fp, fn, prec, rec, f1), one row per
+    distinct score, descending threshold = the classic sweep from
+    strictest to loosest."""
+    from pyspark.sql import Window
+
+    t = scored.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(F.col(label_col).cast("bigint")).alias("n_pos"),
+        F.count("*").alias("n_all"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()  # whole (bounded) threshold table
+    c = t.select(
+        "threshold",
+        F.sum("n_pos").over(w).alias("tp"),
+        F.sum("n_all").over(w).alias("pred"),
+        F.sum("n_pos").over(tot).alias("total_pos"),
+    )
+    tp_d = F.col("tp").cast("double")
+    prec = tp_d / F.col("pred").cast("double")
+    rec = tp_d / F.col("total_pos").cast("double")
+    f1 = F.when(
+        prec + rec > 0.0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return c.select(
+        "threshold",
+        "tp",
+        (F.col("pred") - F.col("tp")).alias("fp"),
+        (F.col("total_pos") - F.col("tp")).alias("fn"),
+        prec.alias("prec"),
+        rec.alias("rec"),
+        f1.alias("f1"),
+    )

@@ -2029,6 +2029,81 @@ def tx9_compression_ratio(spark, sf_dir):
     return compression_ratio(d)
 
 
+@check(
+    "er3b_pr_curve",
+    oracle="""
+    WITH pairs AS (
+      SELECT 1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                 / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE)
+               AS score,
+             CAST(a.p_type = b.p_type AS INT) AS label
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    ),
+    t AS (SELECT score AS threshold,
+                 CAST(sum(label) AS BIGINT) AS n_pos,
+                 CAST(count(*) AS BIGINT)  AS n_all
+          FROM pairs GROUP BY score),
+    c AS (SELECT threshold,
+                 sum(n_pos) OVER w AS tp,
+                 sum(n_all) OVER w AS pred,
+                 sum(n_pos) OVER () AS total_pos
+          FROM t
+          WINDOW w AS (ORDER BY threshold DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT threshold,
+           tp,
+           pred - tp AS fp,
+           total_pos - tp AS fn,
+           CAST(tp AS DOUBLE) / CAST(pred AS DOUBLE) AS prec,
+           CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE) AS rec,
+           CASE WHEN CAST(tp AS DOUBLE) / CAST(pred AS DOUBLE)
+                   + CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE) > 0.0
+                THEN 2.0 * (CAST(tp AS DOUBLE) / CAST(pred AS DOUBLE))
+                         * (CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE))
+                     / (CAST(tp AS DOUBLE) / CAST(pred AS DOUBLE)
+                        + CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE))
+                ELSE 0.0 END AS f1
+    FROM c
+    """,
+)
+def er3b_pr_curve(spark, sf_dir):
+    """Threshold-sweep PR curve (el.evaluate.pr_curve) over a
+    deterministic scored-pairs set: parts blocked on brand, scored by
+    normalized Levenshtein name similarity, labeled by type equality.
+    One row per distinct score; tp/fp/fn are exact BIGINT cumulative
+    window sums, prec/rec/f1 single IEEE double ops mirrored operand-
+    for-operand in the oracle (hash-exact)."""
+    from el.evaluate import pr_curve
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_type")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+        F.col("p_type").alias("ta"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+        F.col("p_type").alias("tb"),
+    )
+    pairs = (
+        a.join(b, "brand")
+        .where(F.col("ka") < F.col("kb"))
+        .select(
+            (
+                F.lit(1.0)
+                - F.levenshtein("na", "nb").cast("double")
+                / F.greatest(F.length("na"), F.length("nb")).cast("double")
+            ).alias("score"),
+            (F.col("ta") == F.col("tb")).cast("int").alias("label"),
+        )
+    )
+    return pr_curve(pairs, "score", "label")
+
+
 @check("s7_warc_roundtrip", oracle=None)  # binary WARC files — no SQL oracle
 def s7_warc_roundtrip(spark, sf_dir):
     """WARC source/sink round trip (el/warc.py): synthesize a small

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from el.evaluate import clustering_agreement
 
 
@@ -35,3 +37,38 @@ def test_agreement_degenerate_all_singletons(spark):
     b = _cl(spark, [5, 6, 7, 8])
     r = clustering_agreement(a, b).collect()[0]
     assert r.ri == 1.0 and r.ari is None
+
+
+def test_pr_curve_hand_checked(spark):
+    from el.evaluate import pr_curve
+
+    # scores: 0.9(pos) 0.9(neg) 0.7(pos) 0.5(neg) 0.5(pos) -> 3 thresholds
+    rows = [(0.9, 1), (0.9, 0), (0.7, 1), (0.5, 0), (0.5, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r.threshold: r for r in pr_curve(df, "score", "label").collect()}
+    assert set(got) == {0.9, 0.7, 0.5}
+    r = got[0.9]
+    assert (r.tp, r.fp, r.fn) == (1, 1, 2)
+    assert r.prec == 0.5 and r.rec == 1 / 3
+    r = got[0.7]
+    assert (r.tp, r.fp, r.fn) == (2, 1, 1)
+    assert r.prec == 2 / 3 and r.rec == 2 / 3 and r.f1 == 2 / 3
+    r = got[0.5]
+    assert (r.tp, r.fp, r.fn) == (3, 2, 0)
+    assert r.rec == 1.0
+
+
+def test_pr_curve_recall_monotone_ties_collapsed(spark):
+    from el.evaluate import pr_curve
+
+    import itertools
+
+    rows = [
+        (round(0.1 * (i % 7), 1), int(i % 3 == 0)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = pr_curve(df, "score", "label").orderBy(F.col("threshold").desc())
+    recs = [r.rec for r in out.collect()]
+    assert len(recs) == 7  # ties collapsed to distinct thresholds
+    assert all(a <= b for a, b in itertools.pairwise(recs))
+    assert recs[-1] == 1.0
