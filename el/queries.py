@@ -2030,6 +2030,37 @@ def tx9_compression_ratio(spark, sf_dir):
 
 
 @check(
+    "j9_bloom_semi_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def j9_bloom_semi_orders(spark, sf_dir):
+    """Bloom-pruned semi-join (el.bloom.bloom_semi_join): orders rows
+    whose customer is in the BUILDING segment. The Bloom pre-filter
+    cuts the probe side before the shuffle (no false negatives by
+    construction); the exact verify semi-join removes false positives,
+    so the RESULT is precisely the semi-join the oracle states while
+    the PLAN shuffles only the pruned rows."""
+    from el.bloom import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return bloom_semi_join(orders, keys, on="o_custkey", num_bits=1 << 20).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@check(
     "er3b_pr_curve",
     oracle="""
     WITH pairs AS (
