@@ -98,3 +98,70 @@ def pack_sequences(
             "bin_offset", (F.col("start") % capacity).cast("long")
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum downsample (training-data mixing:
+    keep fraction f_s of stratum s, e.g. upweight rare languages by
+    keeping all of them while thinning the head).
+
+    Selection is hash-threshold on the KEY, not rand(): a row's
+    fate is a pure function of (key, seed), so the sample is stable
+    under corpus growth, re-runs, and partitioning — and a SQL oracle
+    reproduces it bit-for-bit (ds3). Strata missing from ``fractions``
+    are dropped (explicit mixing weights only). Pure filter: no
+    shuffle, pushes down past column pruning."""
+    n = 10_000
+    expr = None
+    for s, f in fractions.items():
+        cond = (F.col(strata_col) == s) & (
+            F.col("_bucket") < int(round(f * n))
+        )
+        expr = cond if expr is None else expr | cond
+    return (
+        df.withColumn(
+            "_bucket", hash_bucket(F.col(key_col).cast("string"), seed)
+        )
+        .where(expr)
+        .drop("_bucket")
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    part_col: str,
+    quality_col: str,
+    token_col: str,
+    budget: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Quality-ranked token-budget selection (curriculum/data-mixing:
+    per group, take the highest-quality documents until a token
+    budget is met; the document that crosses the budget line is the
+    last one kept — standard greedy prefix).
+
+    One window per group ordered by (quality desc, tiebreak asc) — a
+    total order, so selection is deterministic; the running sum is
+    over the strictly-preceding rows, hence a doc is kept iff the
+    budget was not yet exhausted BEFORE it. At scale this is one
+    shuffle on part_col; no global sort."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(quality_col).desc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spent = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn("spent_before", spent)
+        .where(F.col("spent_before") < budget)
+        .withColumn(
+            "cum_tokens",
+            (F.col("spent_before") + F.col(token_col)).cast("long"),
+        )
+    )

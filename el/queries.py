@@ -2018,6 +2018,65 @@ def ds2_pack_sequences(spark, sf_dir):
     )
 
 
+@check(
+    "ds3_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (SELECT doc_id, lang, n_chars,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'),
+                      1, 8) AS BIGINT) % 10000 AS b
+          FROM documents)
+    WHERE (lang = 'en' AND b < 5000)
+       OR (lang = 'de' AND b < 10000)
+       OR (lang = 'fr' AND b < 2500)
+    """,
+)
+def ds3_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsample (el.datasets.
+    stratified_sample): language mixing weights en 0.5 / de 1.0 /
+    fr 0.25, hash-threshold keyed on doc_id — stable under corpus
+    growth and partitioning, bit-reproduced by the SQL oracle."""
+    from el.datasets import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_sample(
+        d, strata_col="lang",
+        fractions={"en": 0.5, "de": 1.0, "fr": 0.25},
+        key_col="doc_id", seed="mix1",
+    )
+
+
+@check(
+    "ds4_budget_select",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(coalesce(sum(n_chars) OVER (
+                    PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS spent_before
+      FROM documents)
+    SELECT doc_id, lang, n_chars, spent_before,
+           CAST(spent_before + n_chars AS BIGINT) AS cum_tokens
+    FROM s WHERE spent_before < 50000
+    """,
+)
+def ds4_budget_select(spark, sf_dir):
+    """Quality-ranked token-budget selection (el.datasets.
+    budget_select): per language, keep the longest documents until a
+    50k-token budget is spent (n_chars stands in for both quality and
+    token count). Total window order (quality desc, doc_id asc) makes
+    the greedy prefix deterministic."""
+    from el.datasets import budget_select
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return budget_select(
+        d, part_col="lang", quality_col="n_chars",
+        token_col="n_chars", budget=50_000, tiebreak_col="doc_id",
+    )
+
+
 @check("tx9_compression_ratio", oracle=None)  # zlib — no SQL oracle exists
 def tx9_compression_ratio(spark, sf_dir):
     """zlib compression-ratio quality signal (pure function of the

@@ -82,3 +82,57 @@ def test_pack_sequences_partition_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def _docs(spark, n):
+    rows = [(i, ["en", "de", "fr"][i % 3], 100 + (i * 37) % 400) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+
+def test_stratified_sample_stable_under_growth(spark):
+    from el.datasets import stratified_sample
+
+    frac = {"en": 0.5, "de": 1.0, "fr": 0.25}
+    small = stratified_sample(_docs(spark, 300), "lang", frac, "doc_id")
+    big = stratified_sample(_docs(spark, 900), "lang", frac, "doc_id")
+    kept_small = {r.doc_id for r in small.collect()}
+    kept_big = {r.doc_id for r in big.collect()}
+    # a doc's fate is a pure function of its key: growth never evicts
+    assert kept_small <= kept_big
+    # fraction 1.0 keeps the whole stratum
+    assert big.where(F.col("lang") == "de").count() == 300
+    # missing strata would be dropped; present ones roughly honor f
+    n_en = big.where(F.col("lang") == "en").count()
+    assert 0.35 * 300 < n_en < 0.65 * 300
+
+
+def test_budget_select_greedy_prefix(spark):
+    from el.datasets import budget_select
+
+    out = budget_select(
+        _docs(spark, 300), "lang", "n_chars", "n_chars", 3_000, "doc_id"
+    )
+    rows = out.collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        # budget respected: everything BEFORE the last kept doc is < budget
+        assert all(r.spent_before < 3_000 for r in rs)
+        # kept set = the quality-desc prefix: min kept quality >= max
+        # dropped quality is violated only across the budget line; check
+        # instead that kept docs are exactly those with spent_before <
+        # budget under the total order, via cum_tokens consistency
+        rs = sorted(rs, key=lambda r: (-r.n_chars, r.doc_id))
+        run = 0
+        for r in rs:
+            assert r.spent_before == run
+            run += r.n_chars
+    # determinism across partitioning
+    again = budget_select(
+        _docs(spark, 300).repartition(11),
+        "lang", "n_chars", "n_chars", 3_000, "doc_id",
+    )
+    a = sorted((r.doc_id, r.spent_before) for r in rows)
+    b = sorted((r.doc_id, r.spent_before) for r in again.collect())
+    assert a == b
