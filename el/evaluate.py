@@ -230,3 +230,39 @@ def pr_curve(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
         rec.alias("rec"),
         f1.alias("f1"),
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Heavy-hitter / skew diagnostics for a join or groupBy key: the
+    top_k most frequent keys with their share of all rows and skew
+    factor (count / mean count). This is the measurement that decides
+    when a key needs salting (el.blocking.salted) or a hot-bucket cap
+    (el.dedup.cap_bucket_members) — skew handled *explicitly* starts
+    with skew measured explicitly.
+
+    Two aggregates over the distinct-key table (bounded by key
+    cardinality, not rows) and a total-order top-k; the one-row
+    global stats frame joins by broadcast. Doubles mirror the DuckDB
+    oracle operand-for-operand (diag1)."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(stats))
+    )
+    cnt_d = F.col("cnt").cast("double")
+    mean = F.col("total").cast("double") / F.col("n_keys").cast("double")
+    return top.select(
+        "key",
+        "cnt",
+        "total",
+        "n_keys",
+        (cnt_d / F.col("total").cast("double")).alias("share"),
+        (cnt_d / mean).alias("skew"),
+    )

@@ -2077,6 +2077,51 @@ def ds4_budget_select(spark, sf_dir):
     )
 
 
+@check(
+    "diag1_key_skew_orders",
+    oracle="""
+    WITH c AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+               FROM orders GROUP BY o_custkey),
+         s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                      CAST(count(*) AS BIGINT) AS n_keys
+               FROM c)
+    SELECT key, cnt, total, n_keys,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(cnt AS DOUBLE)
+             / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew
+    FROM c, s
+    ORDER BY cnt DESC, key ASC
+    LIMIT 10
+    """,
+)
+def diag1_key_skew_orders(spark, sf_dir):
+    """Key-skew / heavy-hitter profile (el.evaluate.key_skew_profile)
+    of orders.o_custkey: top-10 hottest keys with row share and skew
+    factor vs the mean key load — the measurement that decides when a
+    join key needs salting or a hot-bucket cap."""
+    from el.evaluate import key_skew_profile
+
+    return key_skew_profile(
+        _t(spark, sf_dir, "orders"), "o_custkey", top_k=10
+    )
+
+
+@check("dd9_shared_span_pairs", oracle=None)  # winnowing — no SQL oracle
+def dd9_shared_span_pairs(spark, sf_dir):
+    """Span-level duplicate candidates (el.dedup.shared_span_pairs):
+    document pairs sharing >= 5 winnowing fingerprints — catches
+    partial duplication (syndicated paragraphs, containment) that
+    doc-level near-dup misses. Kernel parity vs the pure-python
+    winnow oracle is pinned in tests/test_dedup.py."""
+    from el.dedup import shared_span_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return shared_span_pairs(
+        d, id_col="doc_id", text_col="text",
+        k=8, window=4, min_shared=5, max_bucket=64,
+    )
+
+
 @check("tx9_compression_ratio", oracle=None)  # zlib — no SQL oracle exists
 def tx9_compression_ratio(spark, sf_dir):
     """zlib compression-ratio quality signal (pure function of the

@@ -445,3 +445,64 @@ def test_dedup_survivors_rank_pushdown_and_left_join(spark):
     assert "WindowGroupLimit" in plan, "rank pushdown must fire"
     r = df.collect()[0]
     assert (r.survivor_id, r.n_members, r.best_quality) == (2, 3, 0.9)
+
+
+def test_shared_span_pairs_detects_partial_duplication(spark):
+    from el.dedup import shared_span_pairs
+    from el.textops import winnow_py
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "syndicated paragraphs of boilerplate prose march across the "
+        "wire services unchanged every single morning"
+    )
+    a_text = "alpha begins here. " + shared + " alpha trails off."
+    b_text = "totally different opener! " + shared + " and a unique coda."
+    c_text = (
+        "nothing in common with the others whatsoever; independent "
+        "content about orbital mechanics and cheese production quotas."
+    )
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, c_text)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in shared_span_pairs(docs, min_shared=3).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    # exact parity with the pure-python winnow intersection (no cap)
+    expect = len(set(winnow_py(a_text)) & set(winnow_py(b_text)))
+    assert got[(1, 2)] == expect
+
+
+def test_shared_span_pairs_hot_bucket_cap_bounds_postings(spark):
+    from el.dedup import shared_span_pairs
+
+    from pyspark.sql import functions as F
+
+    from el.dedup import cap_bucket_members
+    from el.textops import winnow_fingerprints
+
+    # 40 copies of the same text: uncapped -> C(40,2)=780 pairs. The
+    # cap bounds each fingerprint BUCKET to 8 postings (so per-bucket
+    # join fan-out <= C(8,2)); the kept 8 differ per bucket (hash
+    # order), so the global pair union shrinks but is not <= 28.
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated everywhere forever") for i in range(40)],
+        "doc_id long, text string",
+    )
+    assert shared_span_pairs(docs, min_shared=1).count() == 780
+    n_capped = shared_span_pairs(docs, min_shared=1, max_bucket=8).count()
+    assert n_capped < 780
+    posts = winnow_fingerprints(docs).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+    max_load = (
+        cap_bucket_members(posts, "fp", "doc_id", 8)
+        .groupBy("fp")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_load <= 8

@@ -72,3 +72,15 @@ def test_pr_curve_recall_monotone_ties_collapsed(spark):
     assert len(recs) == 7  # ties collapsed to distinct thresholds
     assert all(a <= b for a, b in itertools.pairwise(recs))
     assert recs[-1] == 1.0
+
+
+def test_key_skew_profile_hand_checked(spark):
+    from el.evaluate import key_skew_profile
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.key: r for r in key_skew_profile(df, "k", top_k=2).collect()}
+    assert set(got) == {"a", "b"}  # top-2 only
+    a = got["a"]
+    assert (a.cnt, a.total, a.n_keys) == (6, 10, 3)
+    assert a.share == 0.6 and a.skew == 6 / (10 / 3)
