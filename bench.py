@@ -65,6 +65,10 @@ HEADLINE_OPTIONAL = [
     "f5_jaro_winkler_parts",
     "st2_tumbling_window_counts",
     "st3_session_window_counts",
+    # late-r3: span-level dedup, bloom prune join, WARC interchange
+    "dd9_shared_span_pairs",
+    "j9_bloom_semi_orders",
+    "s7_warc_roundtrip",
 ]
 
 
