@@ -117,3 +117,28 @@ def test_warc_ingest_feeds_extraction(spark, warc_dir):
         )
     )
     assert diff.count() == 0
+
+
+def test_streaming_source_equals_batch(spark, warc_dir, tmp_path):
+    """availableNow drain of the streaming WARC source == batch read
+    of the same directory (same parse kernel, file-source discovery)."""
+    from el.warc import read_warc, read_warc_stream
+
+    stream = read_warc_stream(spark, warc_dir).select(
+        "url", "warc_ts", F.sha2(F.col("html"), 256).alias("h")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("warc_stream_t")
+    batch = read_warc(spark, warc_dir).select(
+        "url", "warc_ts", F.sha2(F.col("html"), 256).alias("h")
+    )
+    assert got.count() == batch.count() == N_PAGES
+    assert batch.exceptAll(got).count() == 0
+    assert got.exceptAll(batch).count() == 0
