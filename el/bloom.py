@@ -80,11 +80,17 @@ def bloom_prune(
     bcast = spark.sparkContext.broadcast(build_bloom(keys, on, num_bits, k))
 
     @F.pandas_udf(T.BooleanType())
-    def member(pos: pd.Series) -> pd.Series:
+    def _member(pos: pd.Series) -> pd.Series:
         bm = np.frombuffer(bcast.value, dtype=np.uint8)
         arr = np.asarray(pos.tolist(), dtype=np.int64)  # (rows, k)
         hit = (bm[arr >> 3] >> (arr & 7).astype(np.uint8)) & 1
         return pd.Series(hit.all(axis=1).astype(bool))
+
+    # asNondeterministic stops InferFiltersFromConstraints from
+    # duplicating the probe filter through the verify equi-join onto
+    # the BUILD side (a redundant Arrow pass over every build key —
+    # caught by the j9 plan audit; the lk1 JW UDF needed the same).
+    member = _member.asNondeterministic()
 
     return probe.where(
         member(F.array(*_positions(on, num_bits, k)))

@@ -259,3 +259,59 @@ def test_link_tables_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_stratified_sample_is_exchange_free(spark):
+    """ds3: a hash-threshold sample is a pure filter — no shuffle may
+    appear anywhere in its plan (the same no-Exchange discipline as
+    hash_split)."""
+    from el.datasets import stratified_sample
+
+    spark.catalog.clearCache()
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    plan = _plan(
+        stratified_sample(d, "lang", {"en": 0.5, "de": 1.0}, "doc_id")
+    )
+    assert "Exchange" not in plan
+
+
+def test_bloom_prune_filters_before_verify_join(spark):
+    """j9: the probe-side Bloom filter must run BELOW the verify
+    semi-join (prune-then-shuffle, the operator's entire point), and
+    the probe scan must not read columns the query dropped."""
+    from el.bloom import bloom_semi_join
+    from el.io import load_table
+
+    spark.catalog.clearCache()
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    keys = (
+        load_table(spark, SF, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    plan = _plan(bloom_semi_join(orders, keys, "o_custkey", num_bits=1 << 16))
+    join_at = plan.find("LeftSemi")
+    eval_at = plan.find("ArrowEvalPython")
+    assert join_at >= 0 and eval_at >= 0
+    # executedPlan prints top-down: the UDF filter sits under the join
+    assert eval_at > join_at
+    # budget: exactly one Arrow boundary (the bitmap probe)
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_budget_select_single_shuffle_on_group(spark):
+    """ds4: one Exchange (hashpartitioning on the group col) feeds the
+    window — no global sort, no second shuffle."""
+    from el.datasets import budget_select
+
+    spark.catalog.clearCache()
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    plan = _plan(
+        budget_select(d, "lang", "n_chars", "n_chars", 10_000, "doc_id")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
