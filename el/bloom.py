@@ -81,6 +81,8 @@ def bloom_prune(
 
     @F.pandas_udf(T.BooleanType())
     def _member(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:  # empty Arrow batch: (0,) array has no axis 1
+            return pd.Series([], dtype=bool)
         bm = np.frombuffer(bcast.value, dtype=np.uint8)
         arr = np.asarray(pos.tolist(), dtype=np.int64)  # (rows, k)
         hit = (bm[arr >> 3] >> (arr & 7).astype(np.uint8)) & 1

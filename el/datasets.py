@@ -117,6 +117,8 @@ def stratified_sample(
     reproduces it bit-for-bit (ds3). Strata missing from ``fractions``
     are dropped (explicit mixing weights only). Pure filter: no
     shuffle, pushes down past column pruning."""
+    if not fractions:
+        raise ValueError("fractions must name at least one stratum")
     n = 10_000
     expr = None
     for s, f in fractions.items():

@@ -335,3 +335,32 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "length", "content").mapInPandas(
         parse, schema=READ_SCHEMA
     )
+
+
+def warc_to_pages(warc_df: DataFrame) -> DataFrame:
+    """Crawl-to-corpus bridge: turn the WARC source's (url, warc_ts,
+    html) into the engine's native ``WEB_PAGES`` shape by deriving the
+    two columns WARC does not carry — ``text`` via EXTRACT_SPEC v1
+    (el/extract.py, the pipeline's pinned extraction) and ``lang`` via
+    the stopword language-ID op (el/textops.py).
+
+    With this, a directory of WARC files is a drop-in corpus: every
+    downstream stage (hygiene gate, extraction, blocking, scoring,
+    incremental ER, all tx/dd ops) runs unchanged. ``lang`` is a
+    heuristic here — the native corpus carries ground truth — so the
+    test asserts an accuracy floor on non-null-text pages rather than
+    equality."""
+    from el.extract import extract_text_udf
+    from el.textops import language_id
+
+    with_text = warc_df.withColumn("text", extract_text_udf(F.col("html")))
+    tagged = language_id(with_text, text_col="text")
+    return tagged.select(
+        "url",
+        "warc_ts",
+        "html",
+        "text",
+        F.when(F.col("text").isNull(), F.lit("und"))
+        .otherwise(F.col("pred_lang"))
+        .alias("lang"),
+    )
