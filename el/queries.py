@@ -2122,6 +2122,25 @@ def dd9_shared_span_pairs(spark, sf_dir):
     )
 
 
+@check(
+    "tx10_nfc_normalize",
+    oracle="""
+    SELECT doc_id,
+           nfc_normalize(text) AS text_nfc,
+           nfc_normalize(text) <> text AS changed
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def tx10_nfc_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization (el.textops.nfc_normalize_text).
+    The oracle is DuckDB's NATIVE nfc_normalize — a cross-
+    implementation Unicode conformance check, not self-parity."""
+    from el.textops import nfc_normalize_text
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return nfc_normalize_text(d)
+
+
 @check("tx9_compression_ratio", oracle=None)  # zlib — no SQL oracle exists
 def tx9_compression_ratio(spark, sf_dir):
     """zlib compression-ratio quality signal (pure function of the

@@ -375,3 +375,33 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def nfc_normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """+ ``text_nfc``, ``changed``: Unicode NFC canonicalization — the
+    standard repair for decomposed forms (e + combining accent vs the
+    precomposed codepoint) ahead of hashing/dedup: exact dedup over
+    un-normalized text misses byte-different canonical-equal docs.
+
+    Spark has no builtin NFC, so this is an Arrow-batched kernel; the
+    DuckDB oracle (tx10) runs its NATIVE ``nfc_normalize``, making the
+    check a cross-implementation Unicode-conformance comparison
+    rather than self-parity."""
+
+    @F.pandas_udf(T.StringType())
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if isinstance(t, str)
+            else None
+        )
+
+    return df.withColumn("text_nfc", nfc(F.col(text_col))).select(
+        id_col,
+        "text_nfc",
+        (F.col("text_nfc") != F.col(text_col)).alias("changed"),
+    )

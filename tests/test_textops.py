@@ -221,3 +221,19 @@ def test_compression_ratio_matches_stdlib_and_flags_repetition(spark):
     assert out[3].n_bytes == 0 and out[3].ratio is None
     # repetition separates hard from normal prose
     assert out[2].ratio < 0.1 < out[1].ratio
+
+
+def test_nfc_normalize_composed_equals_decomposed(spark):
+    from el.textops import nfc_normalize_text
+
+    decomposed = "cafe\u0301 re\u0301sume\u0301"  # e + combining acute
+    composed = "caf\u00e9 r\u00e9sum\u00e9"  # precomposed
+    rows = [(1, decomposed), (2, composed), (3, "plain ascii"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in nfc_normalize_text(df).collect()}
+    assert got[1].text_nfc == composed and got[1].changed is True
+    assert got[2].text_nfc == composed and got[2].changed is False
+    assert got[3].changed is False
+    assert got[4].text_nfc is None
+    # the repaired forms now exact-dedup together
+    assert got[1].text_nfc == got[2].text_nfc
