@@ -266,3 +266,50 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         (cnt_d / F.col("total").cast("double")).alias("share"),
         (cnt_d / mean).alias("skew"),
     )
+
+
+def clustering_bcubed(
+    a: DataFrame, b: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) between a
+    predicted clustering ``a`` and a reference clustering ``b`` — the
+    standard per-item ER cluster metric alongside pairwise F1: an
+    item's precision is |its pred cluster ∩ its true cluster| / |its
+    pred cluster|, recall the same over the true cluster, both
+    averaged over items.
+
+    Computed from the contingency table only, never per-item rows:
+    all items in cell (ca, cb) share identical values, so the mean is
+    Σ_cells c·(c/|ca|) / n. Each cell value is ONE IEEE division
+    (bit-stable); the cross-cell sum uses the decimal-sum discipline
+    (cast to DECIMAL(28,12), exact order-independent addition) so the
+    DuckDB oracle (er5) hash-matches. One row:
+    (n_docs, bcubed_p, bcubed_r, bcubed_f1)."""
+    ca = a.select(F.col(id_col).alias("_id"), F.col("cluster_id").alias("ca"))
+    cb = b.select(F.col(id_col).alias("_id"), F.col("cluster_id").alias("cb"))
+    cont = ca.join(cb, "_id").groupBy("ca", "cb").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    sa = cont.groupBy("ca").agg(F.sum("c").cast("long").alias("na"))
+    sb = cont.groupBy("cb").agg(F.sum("c").cast("long").alias("nb"))
+    cells = cont.join(sa, "ca").join(sb, "cb")
+    cc = (F.col("c") * F.col("c")).cast("double")
+    p_cell = cc / F.col("na").cast("double")
+    r_cell = cc / F.col("nb").cast("double")
+    agg = cells.agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(p_cell.cast("decimal(28,12)")).cast("double").alias("sp"),
+        F.sum(r_cell.cast("decimal(28,12)")).cast("double").alias("sr"),
+    )
+    n_d = F.col("n_docs").cast("double")
+    p = F.col("sp") / n_d
+    r = F.col("sr") / n_d
+    f1 = F.when(p + r > 0.0, F.lit(2.0) * p * r / (p + r)).otherwise(
+        F.lit(0.0)
+    )
+    return agg.select(
+        "n_docs",
+        p.alias("bcubed_p"),
+        r.alias("bcubed_r"),
+        f1.alias("bcubed_f1"),
+    )

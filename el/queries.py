@@ -2123,6 +2123,49 @@ def dd9_shared_span_pairs(spark, sf_dir):
 
 
 @check(
+    "er5_bcubed",
+    oracle="""
+    WITH j AS (SELECT doc_id % 7 AS ca, lang AS cb FROM documents),
+    cont AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS c
+             FROM j GROUP BY ca, cb),
+    sa AS (SELECT ca, CAST(sum(c) AS BIGINT) AS na FROM cont GROUP BY ca),
+    sb AS (SELECT cb, CAST(sum(c) AS BIGINT) AS nb FROM cont GROUP BY cb),
+    cells AS (SELECT c, na, nb
+              FROM cont JOIN sa USING (ca) JOIN sb USING (cb)),
+    agg AS (SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(CAST(c*c AS DOUBLE) / CAST(na AS DOUBLE)
+                        AS DECIMAL(28,12))) AS DOUBLE) AS sp,
+                   CAST(sum(CAST(CAST(c*c AS DOUBLE) / CAST(nb AS DOUBLE)
+                        AS DECIMAL(28,12))) AS DOUBLE) AS sr
+            FROM cells)
+    SELECT n_docs,
+           sp / CAST(n_docs AS DOUBLE) AS bcubed_p,
+           sr / CAST(n_docs AS DOUBLE) AS bcubed_r,
+           CASE WHEN sp / CAST(n_docs AS DOUBLE)
+                   + sr / CAST(n_docs AS DOUBLE) > 0.0
+                THEN 2.0 * (sp / CAST(n_docs AS DOUBLE))
+                         * (sr / CAST(n_docs AS DOUBLE))
+                     / (sp / CAST(n_docs AS DOUBLE)
+                        + sr / CAST(n_docs AS DOUBLE))
+                ELSE 0.0 END AS bcubed_f1
+    FROM agg
+    """,
+)
+def er5_bcubed(spark, sf_dir):
+    """B-cubed precision/recall/F1 (el.evaluate.clustering_bcubed)
+    between a deterministic 7-bucket partition of documents and the
+    language partition. Cell values are single IEEE divisions; the
+    cross-cell sums use the decimal-sum discipline, so all three
+    doubles hash-match the oracle bit-exactly."""
+    from el.evaluate import clustering_bcubed
+
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select("doc_id", (F.col("doc_id") % 7).alias("cluster_id"))
+    truth = d.select("doc_id", F.col("lang").alias("cluster_id"))
+    return clustering_bcubed(pred, truth, id_col="doc_id")
+
+
+@check(
     "tx10_nfc_normalize",
     oracle="""
     SELECT doc_id,

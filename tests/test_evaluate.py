@@ -84,3 +84,20 @@ def test_key_skew_profile_hand_checked(spark):
     a = got["a"]
     assert (a.cnt, a.total, a.n_keys) == (6, 10, 3)
     assert a.share == 0.6 and a.skew == 6 / (10 / 3)
+
+
+def test_bcubed_hand_checked(spark):
+    from el.evaluate import clustering_bcubed
+
+    # pred {1,2}{3} vs truth {1,2,3}: P = 1 (every pred cluster pure),
+    # R = (2/3 + 2/3 + 1/3)/3 = 5/9, F1 = 2*1*(5/9)/(1+5/9) = 5/7
+    a = _cl(spark, [10, 10, 20])
+    b = _cl(spark, [1, 1, 1])
+    r = clustering_bcubed(a, b).collect()[0]
+    assert r.n_docs == 3
+    assert r.bcubed_p == 1.0
+    assert abs(r.bcubed_r - 5 / 9) < 1e-12
+    assert abs(r.bcubed_f1 - 5 / 7) < 1e-12
+    # identical clusterings: perfect scores
+    r2 = clustering_bcubed(a, _cl(spark, [7, 7, 9])).collect()[0]
+    assert (r2.bcubed_p, r2.bcubed_r, r2.bcubed_f1) == (1.0, 1.0, 1.0)
