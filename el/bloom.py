@@ -55,6 +55,8 @@ def build_bloom(keys: DataFrame, key_col: str, num_bits: int, k: int) -> bytes:
     The collect is bounded by num_bits distinct positions (8 B each),
     not by |keys| — a 2^23-bit filter costs at most 64 MiB of driver
     traffic once, then 1 MiB broadcast."""
+    if num_bits % 8:
+        raise ValueError("num_bits must be a multiple of 8")
     pos = (
         keys.select(F.explode(F.array(*_positions(key_col, num_bits, k))).alias("p"))
         .distinct()
@@ -74,9 +76,13 @@ def bloom_prune(
     k: int = 5,
 ) -> DataFrame:
     """Keep probe rows whose key MIGHT be in keys (no false negatives)."""
-    if num_bits % 8:
-        raise ValueError("num_bits must be a multiple of 8")
     spark = probe.sparkSession
+    # hash the SAME type on both sides: xxhash64(5L) != xxhash64('5'),
+    # so a build/probe type mismatch would silently prune true matches
+    # (the equi-join's implicit cast would have matched them). Coerce
+    # the build keys to the probe column's type before hashing.
+    probe_type = probe.schema[on].dataType
+    keys = keys.select(F.col(on).cast(probe_type).alias(on))
     bcast = spark.sparkContext.broadcast(build_bloom(keys, on, num_bits, k))
 
     @F.pandas_udf(T.BooleanType())

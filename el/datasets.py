@@ -116,7 +116,13 @@ def stratified_sample(
     under corpus growth, re-runs, and partitioning — and a SQL oracle
     reproduces it bit-for-bit (ds3). Strata missing from ``fractions``
     are dropped (explicit mixing weights only). Pure filter: no
-    shuffle, pushes down past column pruning."""
+    shuffle, pushes down past column pruning.
+
+    The hash is namespaced ('strat:' + seed) so sampling is
+    INDEPENDENT of ``hash_split`` on the same key at the same seed —
+    without the namespace, sample(f=0.5) after split(train=0.8) would
+    keep 62.5% of train and 0% of test (the two threshold tests would
+    read the same bucket)."""
     if not fractions:
         raise ValueError("fractions must name at least one stratum")
     n = 10_000
@@ -128,7 +134,8 @@ def stratified_sample(
         expr = cond if expr is None else expr | cond
     return (
         df.withColumn(
-            "_bucket", hash_bucket(F.col(key_col).cast("string"), seed)
+            "_bucket",
+            hash_bucket(F.col(key_col).cast("string"), "strat:" + seed),
         )
         .where(expr)
         .drop("_bucket")

@@ -64,6 +64,17 @@ def pairwise_scores(labeled: DataFrame, url_clusters: DataFrame) -> dict:
     }
 
 
+def _pairs2(c):
+    """Exact n-choose-2 on longs, overflow-safe: halve the even factor
+    BEFORE multiplying (shiftright = floor-div-2 on non-negatives), so
+    the intermediate never exceeds the result. ``c*(c-1)`` first would
+    wrap int64 at c ≈ 3.04e9; this form is exact up to the point the
+    pair count itself leaves int64 (c ≈ 4.3e9)."""
+    even = F.shiftright(c, 1) * (c - F.lit(1))
+    odd = c * F.shiftright(c - F.lit(1), 1)
+    return F.when(c % 2 == 0, even).otherwise(odd)
+
+
 def blocking_recall(
     labeled: DataFrame, block_keys: DataFrame, mentions: DataFrame
 ) -> float:
@@ -75,7 +86,9 @@ def blocking_recall(
         .select("url", "strategy", "block_key")
         .distinct()
     )
-    pos = labeled.where("label = 1").select("a_url", "b_url")
+    # distinct() on BOTH sides: covered is deduped below, so a
+    # duplicate labeling row must not inflate the denominator either
+    pos = labeled.where("label = 1").select("a_url", "b_url").distinct()
     a = url_keys.select(
         F.col("url").alias("a_url"), "strategy", "block_key"
     )
@@ -99,10 +112,13 @@ def blocking_reduction_ratio(df: DataFrame, block_col: str) -> DataFrame:
     within-block. Returns a 1-row DataFrame
     ``(n_rows, cand_pairs, all_pairs, reduction_ratio)``.
 
-    Pair counts use ``shiftright(n*(n-1), 1)`` — exact long division
-    by 2, no double rounding. One groupBy + one global agg; nothing
-    corpus-sized reaches the driver."""
-    half = lambda c: F.shiftright(c * (c - F.lit(1)), 1)  # noqa: E731
+    Pair counts are exact long arithmetic with the halving applied
+    BEFORE the multiply (even/odd split), so the intermediate never
+    exceeds the pair count itself — n*(n-1) would wrap int64 at
+    n ≈ 3.04e9 rows (one Common Crawl snapshot), the final count only
+    at n ≈ 4.3e9, the representable limit. One groupBy + one global
+    agg; nothing corpus-sized reaches the driver."""
+    half = _pairs2
     per = df.groupBy(block_col).agg(F.count("*").alias("n"))
     tot = per.agg(
         F.sum("n").cast("long").alias("n_rows"),
@@ -139,8 +155,7 @@ def clustering_agreement(
     cb = b.select(F.col(id_col).alias("_id"), F.col("cluster_id").alias("cb"))
     cont = ca.join(cb, "_id").groupBy("ca", "cb").agg(F.count("*").alias("c"))
 
-    def pairs2(c):
-        return F.shiftright(c * (c - F.lit(1)), 1)
+    pairs2 = _pairs2  # overflow-safe exact n-choose-2
 
     sab = cont.agg(
         F.sum("c").cast("long").alias("n"),
@@ -157,7 +172,7 @@ def clustering_agreement(
         .agg(F.sum(pairs2(F.col("c"))).cast("long").alias("s_b"))
     )
     one = sab.crossJoin(sa).crossJoin(sb)  # three 1-row frames
-    n_pairs = F.shiftright(F.col("n") * (F.col("n") - F.lit(1)), 1)
+    n_pairs = _pairs2(F.col("n"))
     sboth_d = F.col("s_both").cast("double")
     sa_d = F.col("s_a").cast("double")
     sb_d = F.col("s_b").cast("double")

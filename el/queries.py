@@ -2023,8 +2023,8 @@ def ds2_pack_sequences(spark, sf_dir):
     oracle="""
     SELECT doc_id, lang, n_chars
     FROM (SELECT doc_id, lang, n_chars,
-                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'),
-                      1, 8) AS BIGINT) % 10000 AS b
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                      || 'strat:mix1'), 1, 8) AS BIGINT) % 10000 AS b
           FROM documents)
     WHERE (lang = 'en' AND b < 5000)
        OR (lang = 'de' AND b < 10000)

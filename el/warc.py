@@ -127,7 +127,22 @@ def write_warc(
     input set — independent of source partitioning (tested at
     local[8] vs local[32] via file sha256).  Returns a one-row-per-
     file summary DataFrame; trigger with an action.
+
+    WARC-Date is written with a 'Z' suffix from session-naive values,
+    so the session timezone MUST be UTC (el.conf pins it; enforced
+    here because a PST-naive value stamped 'Z' would silently shift
+    every date for external consumers AND break byte-determinism
+    across sessions).  Null/invalid ``warc_ts`` is rejected loudly —
+    WARC-Date is mandatory and a sentinel date would silently corrupt
+    downstream dedup-by-latest.
     """
+    tz = pages.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise ValueError(
+            f"write_warc requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): WARC-Date is stamped 'Z' from "
+            f"session-naive timestamps"
+        )
     os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
     cols = pages.select("url", "warc_ts", "html").repartition(num_files, "url")
@@ -144,6 +159,12 @@ def write_warc(
         # recrawls repeat a url: date + payload tiebreakers keep the
         # in-partition order (and thus file bytes) input-order-free
         rows["__d"] = rows["warc_ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+        n_bad = int(rows["__d"].isna().sum())
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} rows have null/invalid warc_ts; WARC-Date "
+                f"is mandatory — filter or repair upstream"
+            )
         rows = rows.sort_values(
             ["url", "__d", "html"], kind="mergesort"
         ).reset_index(drop=True)
@@ -229,49 +250,60 @@ READ_SCHEMA = T.StructType(
 )
 
 
+def _parse_files(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The ONE parse kernel, shared by the batch and streaming readers
+    (so batch == stream is true by construction, not just by test).
+    A file that is not actually gzip despite its name is skipped —
+    same degrade-don't-kill posture as truncated records."""
+    for pdf in batches:
+        for fpath, length, content in zip(
+            pdf["path"], pdf["length"], pdf["content"]
+        ):
+            if int(length) > MAX_WARC_FILE_BYTES:
+                raise ValueError(
+                    f"WARC file {fpath} is {length} bytes; binaryFile "
+                    f"caps at {MAX_WARC_FILE_BYTES}. Re-shard upstream."
+                )
+            data = bytes(content)
+            if fpath.endswith(".gz"):
+                try:
+                    data = gzip.decompress(data)  # multi-member OK
+                except (OSError, EOFError):
+                    continue  # mislabeled/corrupt member: skip file
+            cols = _parse_warc_bytes(data, os.path.basename(fpath))
+            ts = pd.to_datetime(
+                pd.Series(cols.pop("warc_date"), dtype="object"),
+                format="%Y-%m-%dT%H:%M:%SZ",
+                errors="coerce",
+            )
+            yield pd.DataFrame(
+                {
+                    "url": cols["url"],
+                    "warc_ts": ts,
+                    "html": cols["html"],
+                    "warc_file": cols["warc_file"],
+                }
+            )
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC source: ``binaryFile`` scan -> per-file parse kernel.
 
     Returns (url, warc_ts, html, warc_file).  Pair with
     ``el.extract`` downstream exactly like the parquet source — the
-    e2e test runs the full ER pipeline off a WARC ingest.
+    e2e test runs the full ER pipeline off a WARC ingest.  The glob
+    filter matches the streaming reader's, so sidecar files in a
+    crawl directory (manifests, logs) never reach the kernel.
     """
-    files = spark.read.format("binaryFile").load(path)
-
-    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for fpath, length, content in zip(
-                pdf["path"], pdf["length"], pdf["content"]
-            ):
-                if int(length) > MAX_WARC_FILE_BYTES:
-                    raise ValueError(
-                        f"WARC file {fpath} is {length} bytes; binaryFile "
-                        f"caps at {MAX_WARC_FILE_BYTES}. Re-shard upstream."
-                    )
-                data = bytes(content)
-                if fpath.endswith(".gz"):
-                    data = gzip.decompress(data)  # multi-member OK
-                cols = _parse_warc_bytes(data, os.path.basename(fpath))
-                ts = pd.to_datetime(
-                    pd.Series(cols.pop("warc_date"), dtype="object"),
-                    format="%Y-%m-%dT%H:%M:%SZ",
-                    errors="coerce",
-                )
-                yield pd.DataFrame(
-                    {
-                        "url": cols["url"],
-                        "warc_ts": ts,
-                        "html": cols["html"],
-                        "warc_file": cols["warc_file"],
-                    }
-                )
-
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+    )
     # project only the columns the kernel needs; binaryFile supports
     # column pruning so `content` is the only heavy read.
-    return (
-        files.select("path", "length", "content")
-        .mapInPandas(parse, schema=READ_SCHEMA)
-        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    return files.select("path", "length", "content").mapInPandas(
+        _parse_files, schema=READ_SCHEMA
     )
 
 
@@ -303,37 +335,8 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
         .option("pathGlobFilter", "*.warc*")
         .load(path)
     )
-
-    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for fpath, length, content in zip(
-                pdf["path"], pdf["length"], pdf["content"]
-            ):
-                if int(length) > MAX_WARC_FILE_BYTES:
-                    raise ValueError(
-                        f"WARC file {fpath} is {length} bytes; binaryFile "
-                        f"caps at {MAX_WARC_FILE_BYTES}. Re-shard upstream."
-                    )
-                data = bytes(content)
-                if fpath.endswith(".gz"):
-                    data = gzip.decompress(data)
-                cols = _parse_warc_bytes(data, os.path.basename(fpath))
-                ts = pd.to_datetime(
-                    pd.Series(cols.pop("warc_date"), dtype="object"),
-                    format="%Y-%m-%dT%H:%M:%SZ",
-                    errors="coerce",
-                )
-                yield pd.DataFrame(
-                    {
-                        "url": cols["url"],
-                        "warc_ts": ts,
-                        "html": cols["html"],
-                        "warc_file": cols["warc_file"],
-                    }
-                )
-
     return files.select("path", "length", "content").mapInPandas(
-        parse, schema=READ_SCHEMA
+        _parse_files, schema=READ_SCHEMA
     )
 
 

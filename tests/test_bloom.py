@@ -65,3 +65,16 @@ def test_prune_is_superset_not_equal_at_tiny_filter(spark):
     assert pruned_n > exact_n  # saturated filter -> FPs present
     got_n = bloom_semi_join(probe, keys, "key", num_bits=1 << 10, k=2).count()
     assert got_n == exact_n
+
+
+def test_build_side_type_mismatch_still_exact(spark):
+    """String-typed build keys against a bigint probe key: the build
+    side is coerced to the probe type before hashing, so no true
+    match is pruned (xxhash64('5') != xxhash64(5L) otherwise)."""
+    probe = _probe(spark)
+    keys_str = _keys(spark).select(F.col("key").cast("string").alias("key"))
+    cols = ["o_orderkey", "key", "o_totalprice"]
+    exact = probe.join(_keys(spark).distinct(), "key", "left_semi").select(*cols)
+    got = bloom_semi_join(probe, keys_str, "key", num_bits=1 << 20).select(*cols)
+    assert exact.exceptAll(got).count() == 0
+    assert got.exceptAll(exact).count() == 0

@@ -136,3 +136,20 @@ def test_budget_select_greedy_prefix(spark):
     a = sorted((r.doc_id, r.spent_before) for r in rows)
     b = sorted((r.doc_id, r.spent_before) for r in again.collect())
     assert a == b
+
+
+def test_sample_independent_of_split(spark):
+    """stratified_sample's hash is namespaced away from hash_split's:
+    sampling half of 'en' keeps ~half of BOTH the train and test
+    splits (correlated hashes would keep 62.5% of train, 0% of test)."""
+    from el.datasets import hash_split, stratified_sample
+
+    d = hash_split(_docs(spark, 3000), "doc_id", {"train": 0.8, "test": 0.2})
+    s = stratified_sample(d, "lang", {"en": 0.5}, "doc_id")
+    for split in ("train", "test"):
+        n_all = d.where(
+            (F.col("split") == split) & (F.col("lang") == "en")
+        ).count()
+        n_kept = s.where(F.col("split") == split).count()
+        frac = n_kept / n_all
+        assert 0.35 < frac < 0.65, (split, frac)

@@ -101,3 +101,17 @@ def test_bcubed_hand_checked(spark):
     # identical clusterings: perfect scores
     r2 = clustering_bcubed(a, _cl(spark, [7, 7, 9])).collect()[0]
     assert (r2.bcubed_p, r2.bcubed_r, r2.bcubed_f1) == (1.0, 1.0, 1.0)
+
+
+def test_pairs2_exact_and_overflow_safe(spark):
+    from el.evaluate import _pairs2
+
+    ns = [0, 1, 2, 3, 10, 11, 3_100_000_000, 4_200_000_000]
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = {
+        r.n: r.p
+        for r in df.select("n", _pairs2(F.col("n")).alias("p")).collect()
+    }
+    for n in ns:
+        # naive n*(n-1) wraps int64 past n ~ 3.04e9; _pairs2 must not
+        assert got[n] == n * (n - 1) // 2, n

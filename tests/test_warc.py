@@ -183,3 +183,29 @@ def test_warc_to_pages_is_dropin_corpus(spark, warc_dir, tmp_path):
         for r in warc_to_pages(read_warc(spark, out)).collect()
     }
     assert got == {"en": "en", "fr": "fr", "de": "de"}
+
+
+def test_sidecar_and_corrupt_gz_files_skipped(spark, tmp_path):
+    """Batch reader: non-WARC sidecars never reach the kernel (glob),
+    and a mislabeled .gz degrades to skipped, not a dead job."""
+    out = str(tmp_path / "mix")
+    write_warc(gen_web_pages(spark, 40, seed=5), out, num_files=1).collect()
+    with open(os.path.join(out, "manifest.json"), "w") as fh:
+        fh.write("{}")
+    with open(os.path.join(out, "broken.warc.gz"), "wb") as fh:
+        fh.write(b"not gzip at all")
+    from el.warc import read_warc as rw
+
+    assert rw(spark, out).count() == 40
+
+
+def test_sink_rejects_null_warc_ts(spark, tmp_path):
+    import datetime
+
+    rows = [
+        ("https://x.test/a", datetime.datetime(2024, 1, 1), b"<p>x</p>"),
+        ("https://x.test/b", None, b"<p>y</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    with pytest.raises(Exception, match="warc_ts"):
+        write_warc(df, str(tmp_path / "bad"), num_files=1).collect()
