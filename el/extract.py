@@ -39,9 +39,18 @@ _RE_P = re.compile(r"<p[^>]*>(.*?)</p>", re.S | re.I)
 _RE_TAG = re.compile(r"<[^>]+>")
 _RE_WS = re.compile(r"\s+")
 
-# a mention is a maximal run of Capitalized tokens (abbreviation dots
-# and an inserted comma allowed), as planted by the corpus generator
-_RE_MENTION = re.compile(r"[A-Z][A-Za-z]*\.?,?(?: [A-Z][A-Za-z]*\.?,?)*")
+# a mention is a run of Capitalized tokens (abbreviation dots and an
+# inserted comma allowed), as planted by the corpus generator.  The run
+# is CAPPED at 12 tokens of <= 24 letters each (~320 bytes max surface):
+# real crawl pages contain pathological maximal runs (an all-caps nav
+# bar "HOME ABOUT PRODUCTS ..." is one run of hundreds of tokens) and an
+# unbounded surface would flow into norm_name and blow up the
+# width-bounded Jaro-Winkler kernel's inputs (el/simfn.py:JW_MAX_LEN).
+# A longer run simply yields several adjacent capped mentions — no row
+# is dropped, nothing is unbounded.
+_RE_MENTION = re.compile(
+    r"[A-Z][A-Za-z]{0,23}\.?,?(?: [A-Z][A-Za-z]{0,23}\.?,?){0,11}"
+)
 
 
 def extract_text_py(raw: bytes | None) -> str | None:

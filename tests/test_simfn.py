@@ -9,7 +9,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from el.simfn import cosine_dense, cosine_sparse, jaro_winkler
+from el.simfn import JW_MAX_LEN, cosine_dense, cosine_sparse, jaro_winkler
 
 
 def _duck_jw(pairs):
@@ -52,6 +52,70 @@ def test_jw_matches_duckdb(pairs):
     got = jaro_winkler(a, b)
     want = _duck_jw(pairs)
     assert np.allclose(got, want, atol=1e-9)
+
+
+def test_jw_mixed_length_banding_matches_duckdb():
+    # rows land in different pow-2 bands (1, 8, 32, 128); banding must
+    # be invisible in the results
+    pairs = [
+        ("a", "b"),
+        ("martha", "marhta"),
+        ("jellyfish industries", "jellyfish industry"),
+        ("x" * 100, "x" * 99 + "y"),
+        ("", "nonempty"),
+        ("abcdef", "abcdef"),
+    ]
+    got = jaro_winkler([p[0] for p in pairs], [p[1] for p in pairs])
+    want = _duck_jw(pairs)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_jw_hostile_long_name_is_bounded():
+    # r3 verdict "What's wrong #1": a single 4 KB all-caps "name" in a
+    # batch must not set the kernel width for the whole batch (the old
+    # kernel would ask numpy for an (n, 4096, 4096) mask).  With
+    # JW_MAX_LEN + banding this completes in normal memory and equals
+    # JW of the truncated strings.
+    long_a = "HOME ABOUT PRODUCTS CONTACT " * 150  # ~4.2 KB
+    long_b = "HOME ABOUT PRODUCTS CAREERS " * 150
+    a = [long_a] + ["martha"] * 5000
+    b = [long_b] + ["marhta"] * 5000
+    got = jaro_winkler(a, b)
+    want_long = _duck_jw([(long_a[:JW_MAX_LEN], long_b[:JW_MAX_LEN])])[0]
+    assert got[0] == pytest.approx(want_long, abs=1e-9)
+    assert got[1] == pytest.approx(0.9611, abs=1e-4)
+    # short rows are exact (never truncated, never in the long band)
+    assert np.allclose(got[1:], got[1], atol=0)
+
+
+def test_jw_kernel_chunking_is_invisible():
+    # force multi-chunk execution inside one band and pin bit-equality
+    import el.simfn as simfn
+
+    a = [f"name {i:04d} alpha" for i in range(400)]
+    b = [f"name {i:04d} beta" for i in range(400)]
+    base = jaro_winkler(a, b)
+    old = simfn._KERNEL_BUDGET
+    simfn._KERNEL_BUDGET = 32 * 32 * 7  # 7 rows per chunk in the 32-band
+    try:
+        chunked = jaro_winkler(a, b)
+    finally:
+        simfn._KERNEL_BUDGET = old
+    assert np.array_equal(base, chunked)
+
+
+def test_mention_runs_are_capped():
+    from el.extract import _RE_MENTION
+
+    hostile = " ".join(["NAVIGATION"] * 100)
+    spans = [m.group(0) for m in _RE_MENTION.finditer(hostile)]
+    assert spans, "capped regex must still match"
+    assert max(len(s) for s in spans) <= 330  # 12 tokens x <=26 chars + spaces
+    # every token is still covered by some mention (split, not dropped)
+    assert sum(len(s.split()) for s in spans) == 100
+    # normal names unchanged
+    m = _RE_MENTION.search("met with John A. Smith, yesterday")
+    assert m is not None and m.group(0) == "John A. Smith,"
 
 
 def test_cosine_sparse():
