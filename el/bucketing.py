@@ -38,6 +38,8 @@ transform) unchanged. All audited in tests/test_bucketing.py.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 
 from el import blocking
@@ -95,19 +97,37 @@ def bucketed_candidate_pairs(keys_table: DataFrame) -> DataFrame:
     return blocking.candidate_pairs(keys_table)
 
 
+_AUTO_BUCKETED_SCAN = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+
+
+@contextmanager
+def bucket_lookup_scope(spark: SparkSession):
+    """Turn ``autoBucketedScan`` OFF for the duration of the block and
+    restore the prior value on exit.
+
+    Spark's ``autoBucketedScan`` optimization disables bucketed
+    reading for plans with no distribution-interested operator — a
+    bare point-lookup filter qualifies, which silently forfeits bucket
+    pruning ("Bucketed: false (disabled by query planner)"). The flag
+    is read lazily at plan-compile time, so a helper that flips it and
+    returns a lazy DataFrame either leaks the setting session-wide
+    (the r3 ADVICE finding) or restores it too early for the plan to
+    see. This scope makes the toggle explicit: compile AND execute
+    lookups inside it. Joins are unaffected either way (their
+    distribution interest keeps the bucketed scan on)."""
+    prev = spark.conf.get(_AUTO_BUCKETED_SCAN)
+    spark.conf.set(_AUTO_BUCKETED_SCAN, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(_AUTO_BUCKETED_SCAN, prev)
+
+
 def bucket_lookup(spark: SparkSession, name: str, col: str, value) -> DataFrame:
     """Point lookup on the bucket column — scans exactly one bucket
-    (``SelectedBucketsCount: 1 out of N`` in the physical scan).
-
-    Spark's ``autoBucketedScan`` optimization turns OFF bucketed
-    reading for plans with no distribution-interested operator — a
-    bare filter qualifies, which silently forfeits pruning ("Bucketed:
-    false (disabled by query planner)"). Lookups therefore pin the
-    flag off for the session; joins are unaffected either way (their
-    distribution interest keeps the bucketed scan on)."""
+    (``SelectedBucketsCount: 1 out of N`` in the physical scan) when
+    planned and executed inside :func:`bucket_lookup_scope`. Outside
+    the scope the lookup is still correct, just unpruned."""
     from pyspark.sql import functions as F
 
-    spark.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-    )
     return spark.table(name).where(F.col(col) == F.lit(value))

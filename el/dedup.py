@@ -208,7 +208,12 @@ def _same_block_filter(
     the same ``block_col`` value. Block values are attached via two
     equi-joins ON ID (the candidate set is already small), never by
     joining on the block column itself — the no-block-join plan
-    discipline of the scale paths is preserved."""
+    discipline of the scale paths is preserved.
+
+    Null semantics (ADVICE r3): a NULL block value matches nothing —
+    the plain ``==`` below drops null-block rows exactly as the exact
+    path's equi-join on ``_blk`` does, so every method's block_col
+    behaves identically."""
     blk = base.select(F.col(id_col).alias("_bid"), F.col(block_col).alias("_bv"))
     return (
         cand.join(
@@ -219,7 +224,7 @@ def _same_block_filter(
             blk.select(F.col("_bid").alias("b_id"), F.col("_bv").alias("_b_bv")),
             on="b_id",
         )
-        .where(F.col("_a_bv").eqNullSafe(F.col("_b_bv")))
+        .where(F.col("_a_bv") == F.col("_b_bv"))
         .select("a_id", "b_id")
     )
 
@@ -241,12 +246,14 @@ def ngram_jaccard_pairs(
     Emits (a_id, b_id, jaccard).
 
     ``block_col`` (default None = whole corpus) is HONORED by every
-    method: when set, only same-block pairs are emitted. In the
-    minhash path it is applied as a post-filter on candidates (id
-    joins, no block-column join); in the exact path it bounds the
-    quadratic self-join. The r2 API silently ignored an explicit
-    block_col in the minhash branch (ADVICE r2 finding) — now the
-    blocked contract cannot be silently dropped.
+    method: when set, only same-block pairs are emitted, and rows with
+    a NULL block value pair with nothing (conventional equi-join
+    semantics, identical across methods — ADVICE r3). In the minhash
+    path it is applied as a post-filter on candidates (id joins, no
+    block-column join); in the exact path it bounds the quadratic
+    self-join. The r2 API silently ignored an explicit block_col in
+    the minhash branch (ADVICE r2 finding) — now the blocked contract
+    cannot be silently dropped.
 
     method="minhash" (default, the 100 TB path): candidates come from
     MinHash band collisions over char shingles — linear in corpus

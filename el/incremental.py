@@ -204,6 +204,14 @@ def compact_deltas(
         for c in chunks:
             part = catalog.read(spark, c)
             merged = part if merged is None else merged.unionByName(part)
+        if merged is None:
+            # deltas exist with no base at all: a partial write died in
+            # a window the batch markers should make impossible
+            raise RuntimeError(
+                f"scored-pairs deltas exist ({deltas}) but neither "
+                "scored_pairs_all nor any scored_chunk_* table does — "
+                "catalog is corrupt; refusing to compact (ADVICE r3)"
+            )
         for d in deltas:
             merged = merged.unionByName(catalog.read(spark, d))
         target = "scored_pairs_all"

@@ -1536,14 +1536,18 @@ def tx7_repetition_stats(spark, sf_dir):
                   || '.' AS t
       FROM documents WHERE text IS NOT NULL
     )
+    , em AS (
+      SELECT doc_id, t,
+             regexp_replace(t, '@EMAIL@', '<EMAIL>', 'g') AS te
+      FROM raw
+    )
     SELECT doc_id,
            CAST(len(regexp_extract_all(t, '@EMAIL@')) AS BIGINT)
              AS n_emails,
-           CAST(len(regexp_extract_all(t, '@PHONE@')) AS BIGINT)
+           CAST(len(regexp_extract_all(te, '@PHONE@')) AS BIGINT)
              AS n_phones,
-           regexp_replace(regexp_replace(t, '@EMAIL@', '<EMAIL>', 'g'),
-                          '@PHONE@', '<PHONE>', 'g') AS text_scrubbed
-    FROM raw
+           regexp_replace(te, '@PHONE@', '<PHONE>', 'g') AS text_scrubbed
+    FROM em
     """.replace("@EMAIL@", EMAIL_RE).replace("@PHONE@", PHONE_RE),
 )
 def tx8_pii_scrub(spark, sf_dir):

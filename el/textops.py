@@ -263,20 +263,25 @@ PHONE_RE = "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b"
 def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """+ ``n_emails``/``n_phones`` (match counts) and
     ``text_scrubbed`` with emails -> ``<EMAIL>`` and phone numbers ->
-    ``<PHONE>``. Regex-only (whole-stage codegen); emails are replaced
-    before phones so a digit-heavy local part cannot double-redact."""
+    ``<PHONE>``. Regex-only (whole-stage codegen).
+
+    Precedence contract (ADVICE r3): emails are replaced FIRST, and
+    ``n_phones`` is counted on the email-scrubbed intermediate — so a
+    phone-shaped substring inside an email local part is neither
+    double-redacted nor counted. Counts always agree with the
+    replacements actually present in ``text_scrubbed``."""
     text = F.col(text_col)
+    email_scrubbed = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     return df.select(
         "*",
         F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
         .cast("long")
         .alias("n_emails"),
-        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0))
+        F.size(F.regexp_extract_all(email_scrubbed, F.lit(PHONE_RE), 0))
         .cast("long")
         .alias("n_phones"),
-        F.regexp_replace(
-            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-        ).alias("text_scrubbed"),
+        F.regexp_replace(email_scrubbed, PHONE_RE, "<PHONE>")
+        .alias("text_scrubbed"),
     )
 
 

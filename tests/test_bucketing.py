@@ -84,12 +84,18 @@ def test_bucket_lookup_prunes_to_one_bucket(spark, keys, tmp_path_factory):
         bucket_cols=["block_key"], n_buckets=N_BUCKETS,
     )
     some_key = t.select("block_key").first()[0]
-    df = bucket_lookup(spark, "block_keys_1col", "block_key", some_key)
-    plan = _formatted(df)
-    assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan, plan
-    # and the lookup still returns the right rows
-    n = df.count()
+    from el.bucketing import _AUTO_BUCKETED_SCAN, bucket_lookup_scope
+
+    prev = spark.conf.get(_AUTO_BUCKETED_SCAN)
+    with bucket_lookup_scope(spark):
+        df = bucket_lookup(spark, "block_keys_1col", "block_key", some_key)
+        plan = _formatted(df)
+        assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan, plan
+        # and the lookup still returns the right rows
+        n = df.count()
     assert n == keys.where(F.col("block_key") == F.lit(some_key)).count() > 0
+    # ADVICE r3: the scope restores the planner flag — no session leak
+    assert spark.conf.get(_AUTO_BUCKETED_SCAN) == prev
 
 
 def test_bucketed_scan_is_deterministic_input(spark, keys, bucketed):

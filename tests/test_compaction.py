@@ -187,3 +187,22 @@ def test_compaction_crash_before_gc_never_double_counts(
     assert rep["folded_batches"] == 0
     assert not c.exists("mentions_delta_0000")
     assert _read_with_deltas(spark, c, "mentions").count() == n_before
+
+
+def test_scored_compaction_orphan_deltas_fail_loudly(
+    spark, tmp_path_factory
+):
+    """ADVICE r3: scored-pairs deltas with NO base of any kind (no
+    scored_pairs_all, no scored_chunk_*) is a corrupt catalog and must
+    raise the explicit corruption error, not an AttributeError on
+    None."""
+    from el.incremental import _commit_batch_marker
+
+    c = HadoopParquetCatalog(str(tmp_path_factory.mktemp("cmp_orphan")))
+    delta = spark.createDataFrame(
+        [(1, 2, 0.9)], "a_id long, b_id long, score double"
+    )
+    c.write(delta, "scored_pairs_delta_0000", run_id="x", stage="t")
+    _commit_batch_marker(c, 0, "x", ["scored_pairs"])
+    with pytest.raises(RuntimeError, match="corrupt"):
+        compact_deltas(spark, c, "scored_pairs", run_id="x")

@@ -242,6 +242,40 @@ def test_block_col_honored_in_scale_paths(spark, docs):
     assert e_exact < e_all
 
 
+def test_block_col_null_semantics_identical_across_methods(spark, docs):
+    """ADVICE r3: a NULL block value pairs with nothing, in BOTH the
+    exact path (equi-join on _blk) and the minhash post-filter. Nulling
+    one lang must remove exactly that language's pairs from every
+    method, and the two methods must still agree pair-for-pair."""
+    from pyspark.sql import functions as F2
+
+    nulled = docs.withColumn(
+        "lang", F2.when(F2.col("lang") == "en", None).otherwise(F2.col("lang"))
+    )
+    full = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(
+            docs, n=2, threshold=0.5, method="exact", block_col="lang"
+        ).collect()
+    }
+    en_docs = {r.doc_id for r in docs.where("lang = 'en'").collect()}
+    expect = {p for p in full if p[0] not in en_docs}
+    exact = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(
+            nulled, n=2, threshold=0.5, method="exact", block_col="lang"
+        ).collect()
+    }
+    mh = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(
+            nulled, n=2, threshold=0.5, method="minhash", block_col="lang"
+        ).collect()
+    }
+    assert exact == expect and mh == expect
+    assert len(full) > len(expect), "fixture must have en-block pairs"
+
+
 def test_max_bucket_parity_when_cap_not_binding(spark, docs):
     """max_bucket large enough to keep every bucket whole must leave
     every candidate path bit-identical to the uncapped form (the cap

@@ -153,6 +153,28 @@ def test_scrub_pii_crafted(spark):
     assert (got[4].n_emails, got[4].n_phones) == (0, 0)
 
 
+def test_scrub_pii_phone_inside_email_not_double_counted(spark):
+    """ADVICE r3: a phone-shaped substring inside an email local part
+    is swallowed by the email replacement; n_phones must be counted on
+    the email-scrubbed intermediate so counts agree with the text."""
+    from el.textops import scrub_pii
+
+    rows = [
+        (1, "reach 555-123-4567@corp.example.org for help"),
+        (2, "email 555-123-4567@corp.example.org or dial 555-987-6543 x9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (got[1].n_emails, got[1].n_phones) == (1, 0)
+    assert got[1].text_scrubbed == "reach <EMAIL> for help"
+    assert (got[2].n_emails, got[2].n_phones) == (1, 1)
+    assert got[2].text_scrubbed == "email <EMAIL> or dial <PHONE> x9"
+    # invariant: counts equal the placeholders actually present
+    for r in got.values():
+        assert r.text_scrubbed.count("<EMAIL>") == r.n_emails
+        assert r.text_scrubbed.count("<PHONE>") == r.n_phones
+
+
 def test_canonicalize_url_variant_invariance(spark):
     """Contract: every noise variant of a URL (scheme case, www,
     default port, tracking params, fragment, trailing slash) maps to
