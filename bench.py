@@ -94,30 +94,34 @@ def _dd5b_prod(spark, sf_dir):
     )
 
 
-_IVF_CENTROIDS: dict[str, object] = {}
-
-
 def _ann3_prefit(spark, sf_dir):
-    """ann3 on the PRODUCTION artifact path: the coarse quantizer is a
-    fit-once persisted model (like TF-IDF/LDA — `ivf_topk` takes
-    ``centroids=``), so the registry entry's per-call k-means refit is
-    a fit tax, not a query cost. The first rep pays the (cached) fit;
-    min-of-reps therefore reports the fit-free query wall — the same
-    split `pipeline_refit` makes for the text models."""
+    """ann3 on the PRODUCTION artifact path (VERDICT r3 #4): the
+    coarse quantizer is a fit-once PERSISTED model — `IvfModel.
+    fit_or_load` writes centroids.npy+meta.json under a `_models`-
+    style dir on first touch and every later call (including every
+    bench rep) loads the committed artifact, exactly like TF-IDF/LDA
+    in the runner. min-of-reps therefore reports the fit-free query
+    wall; the registry entry's per-call k-means refit is the fit tax,
+    measured separately."""
+    import hashlib
+    import os
+    import tempfile
+
     from el.io import load_table
-    from el.similarity import ivf_fit, ivf_topk
+    from el.similarity import IvfModel
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = ivf_fit(emb)
-    return ivf_topk(
-        emb,
-        emb.where(F.col("vec_id") < 5),
-        k=10,
-        nprobe=2,
-        centroids=_IVF_CENTROIDS[sf_dir],
-    )
+    # tag keyed on path + data mtime/size: a regenerated corpus can
+    # never silently reuse a stale quantizer
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    mdir = os.path.join(tempfile.gettempdir(), "el_bench_models", f"ivf_{tag}")
+    model = IvfModel.fit_or_load(emb, mdir)
+    return model.topk(emb, emb.where(F.col("vec_id") < 5), k=10, nprobe=2)
 
 
 def _mm_pipeline(spark, sf_dir):

