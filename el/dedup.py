@@ -14,7 +14,9 @@ Scale notes:
   every pair within Hamming distance 3 (pigeonhole: <=3 flipped bits
   cannot touch all 4 bands).
 - hot-bucket skew: every candidate generator takes ``max_bucket``
-  (default None = unbounded, exact fixture/oracle semantics). At
+  (default DEFAULT_MAX_BUCKET = production capping; pass None for
+  unbounded exact fixture/oracle semantics — oracle registry entries
+  do so explicitly). At
   100 TB a degenerate bucket — millions of boilerplate pages sharing
   a band key, or a mega-cluster of identical embeddings — turns the
   bucket self-join quadratic on one reducer; ``max_bucket=K`` bounds
@@ -201,6 +203,17 @@ def _exact_jaccard_verify(
     )
 
 
+# Production default for hot-bucket caps (VERDICT r3 stretch): every
+# dd-family candidate generator caps bucket membership at this many
+# members unless the caller overrides it. K=1000 bounds any one
+# bucket's self-join contribution to ~K^2/2 pairs on one reducer while
+# truncating nothing at fixture/bench scales; ORACLE registry entries
+# pass max_bucket=None explicitly, because their hash-exact truth
+# comparison must see the uncapped candidate set. Truncation is never
+# silent — cap_bucket_members load stats record what was dropped.
+DEFAULT_MAX_BUCKET = 1000
+
+
 def _same_block_filter(
     cand: DataFrame, base: DataFrame, id_col: str, block_col: str
 ) -> DataFrame:
@@ -240,7 +253,7 @@ def ngram_jaccard_pairs(
     mh_shingle_k: int = 5,
     mh_rows: int = 4,
     mh_bands: int = 16,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by exact token n-gram Jaccard >= threshold.
     Emits (a_id, b_id, jaccard).
@@ -314,7 +327,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     rows: int = 4,
     bands: int = 16,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash band collision (reuses the
     el.minhash kernel): shingle -> minhash -> band -> bucket equi-join.
@@ -438,7 +451,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found by
     4x16-bit band collision (complete for max_hamming <= 3) and
@@ -517,7 +530,7 @@ def embedding_neardup_pairs(
     seed: int = 11,
     dim: int = 64,
     probe_bits: int = 0,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup vector pairs with exact cosine >= threshold; ids only
     — float values stay out of the comparison surface.
@@ -725,7 +738,7 @@ def shared_span_pairs(
     k: int = 8,
     window: int = 4,
     min_shared: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Cross-document duplicated-SPAN detection via winnowing
     fingerprints (Schleimer et al., SIGMOD 2003).

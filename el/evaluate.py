@@ -196,7 +196,12 @@ def clustering_agreement(
     )
 
 
-def pr_curve(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
+def pr_curve(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    quantize: int | None = None,
+) -> DataFrame:
     """Precision/recall/F1 at every distinct score threshold (the
     standard threshold-sweep PR curve over scored candidate pairs).
 
@@ -204,10 +209,12 @@ def pr_curve(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
     partially-aggregated groupBy on the score key, linear in the pair
     count — then run the cumulative window over the *threshold table*,
     which is bounded by the number of distinct scores, never by the
-    pair count. For continuous scores at web scale, quantize upstream
-    (e.g. ``F.round(score, 4)``) so that table stays small; the
-    single-task unpartitioned window is over the bounded table only,
-    by construction.
+    pair count. ``quantize`` (VERDICT r3 stretch) rounds the score to
+    that many decimals BEFORE the groupBy, so for continuous scores at
+    web scale the threshold table is bounded by construction
+    (<= 10^quantize + 1 rows); the single-task unpartitioned window
+    runs over that bounded table only. ``quantize=None`` keeps exact
+    thresholds for oracle comparison (er3b).
 
     Doubles are produced with the same operand order as the DuckDB
     oracle (er3b) so precision/recall/f1 hash-match bit-exactly.
@@ -216,7 +223,10 @@ def pr_curve(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
     strictest to loosest."""
     from pyspark.sql import Window
 
-    t = scored.groupBy(F.col(score_col).alias("threshold")).agg(
+    score = F.col(score_col)
+    if quantize is not None:
+        score = F.round(score, quantize)
+    t = scored.groupBy(score.alias("threshold")).agg(
         F.sum(F.col(label_col).cast("bigint")).alias("n_pos"),
         F.count("*").alias("n_all"),
     )

@@ -773,7 +773,11 @@ def dd4b_ngram_jaccard_minhash(spark, sf_dir):
     from el.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=2, threshold=0.5, method="minhash"
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.5,
+        method="minhash",
+        # oracle regime: the hash-exact truth comparison must see the
+        # UNCAPPED candidate set (production default is DEFAULT_MAX_BUCKET)
+        max_bucket=None,
     )
 
 
@@ -853,6 +857,7 @@ def dd5b_embedding_neardup_lsh(spark, sf_dir):
         n_planes=3,
         n_tables=8,
         probe_bits=1,
+        max_bucket=None,  # oracle regime: uncapped candidates (see dd4b)
     )
 
 

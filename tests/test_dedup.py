@@ -540,3 +540,25 @@ def test_shared_span_pairs_hot_bucket_cap_bounds_postings(spark):
         .collect()[0][0]
     )
     assert max_load <= 8
+
+
+def test_production_max_bucket_default_is_capped():
+    """VERDICT r3 stretch: pipeline-facing candidate generators default
+    to a bounded hot-bucket cap; None (uncapped) is an explicit oracle
+    choice, never the silent default."""
+    import inspect
+
+    from el import dedup
+
+    for fn in (
+        dedup.ngram_jaccard_pairs,
+        dedup.minhash_lsh_pairs,
+        dedup.simhash_pairs,
+        dedup.embedding_neardup_pairs,
+        dedup.shared_span_pairs,
+    ):
+        sig = inspect.signature(fn)
+        assert (
+            sig.parameters["max_bucket"].default == dedup.DEFAULT_MAX_BUCKET
+        ), fn.__name__
+    assert dedup.DEFAULT_MAX_BUCKET is not None

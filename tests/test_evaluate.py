@@ -74,6 +74,28 @@ def test_pr_curve_recall_monotone_ties_collapsed(spark):
     assert recs[-1] == 1.0
 
 
+def test_pr_curve_quantize_bounds_threshold_table(spark):
+    """VERDICT r3 stretch: quantize=q rounds scores upstream, so the
+    threshold table is bounded by construction (<= 10^q + 1 rows) no
+    matter how many distinct continuous scores come in, and the curve
+    equals pr_curve over the pre-rounded scores."""
+    from el.evaluate import pr_curve
+
+    rows = [(i / 997.0, int(i % 5 == 0)) for i in range(997)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    q = pr_curve(df, "score", "label", quantize=1).collect()
+    assert len(q) <= 11  # 0.0 .. 1.0 at one decimal
+    manual = pr_curve(
+        df.select(F.round("score", 1).alias("score"), "label"),
+        "score",
+        "label",
+    ).collect()
+    key = lambda r: (r.threshold, r.tp, r.fp, r.fn, r.prec, r.rec, r.f1)
+    assert sorted(map(key, q)) == sorted(map(key, manual))
+    # full resolution unchanged by default
+    assert pr_curve(df, "score", "label").count() == 997
+
+
 def test_key_skew_profile_hand_checked(spark):
     from el.evaluate import key_skew_profile
 
