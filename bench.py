@@ -290,6 +290,10 @@ def main() -> None:
     # single-shot (they dominate the budget and checkpoint state).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     queries: dict[str, float] = {}
+    # box-state stamp (BASELINE.md protocol): this sandbox shows
+    # 20-30% hypervisor steal and multi-second vCPU stalls; a bench
+    # artifact without its load context cannot be adjudicated later
+    load_start = tuple(round(x, 2) for x in os.getloadavg())
     t_all = time.time()
     named = [(n, REGISTRY[n].fn)
              for n in HEADLINE + [q for q in HEADLINE_OPTIONAL if q in REGISTRY]]
@@ -324,6 +328,10 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "wall": wall,
+                "load_avg_start": load_start,
+                "load_avg_end": tuple(
+                    round(x, 2) for x in os.getloadavg()
+                ),
                 "pipeline": pipe_info,
             }
         )

@@ -189,6 +189,107 @@ print(json.dumps({"level": level, "n_pairs": n, "walls": walls}))
     return out
 
 
+def dedup_kernel_scaling(work: str, levels: list[int], reps: int,
+                         n_docs: int, pin: bool = True) -> dict:
+    """Same CPU-pinned min-of-reps protocol as kernel_scaling, applied
+    to the dd4b near-dup kernel (VERDICT r3 #5): MinHash band keys ->
+    capped bucket self-join -> size-ratio prune -> exact-Jaccard
+    verify, over a pre-materialized document corpus, noop sink. The
+    corpus is gen_web_pages text at bench scale (planted recrawl/
+    phrasing near-dups), so the candidate stage does real work at
+    every level. Throughput unit: docs/sec (corpus rows / wall);
+    n_pairs recorded for cross-level result-identity."""
+    prep = r"""
+import json, sys
+import numpy as np
+import pandas as pd
+from el.conf import get_spark
+from el.hashing import splitmix64
+work, n_docs = sys.argv[1], int(sys.argv[2])
+spark = get_spark('ddprep', extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+
+# deterministic corpus with PLANTED near-dups: every doc is a pure
+# function of its id (partition-invariant); docs with id % 4 == 1 are
+# near-dups of id-1 (each token independently replaced with p=0.1, so
+# token-3-gram Jaccard lands ~0.6-0.8, above the 0.5 threshold), all
+# other docs are unrelated draws from a 4096-word vocab.
+L, VOCAB = 60, 4096
+def _words(h):
+    return np.char.add("w", (h % VOCAB).astype("U4"))
+def gen(batches):
+    for pdf in batches:
+        ids = pdf["id"].to_numpy().astype(np.int64)
+        base = ids - (ids % 4 == 1)
+        pos = np.arange(L, dtype=np.int64)
+        hb = splitmix64((base[:, None] * L + pos[None, :]).astype(np.uint64))
+        toks = _words(hb)
+        hr = splitmix64((ids[:, None] * L + pos[None, :] + 0x9E37).astype(np.uint64))
+        repl = (hr % 10 == 0) & (ids[:, None] % 4 == 1)
+        toks = np.where(repl, _words(hr >> 13), toks)
+        texts = [" ".join(row) for row in toks]
+        yield pd.DataFrame({"doc_id": ids, "text": texts})
+docs = spark.range(n_docs).repartition(32).mapInPandas(
+    gen, schema="doc_id long, text string")
+docs.write.mode("overwrite").parquet(f'{work}/prep/dd_docs')
+print(json.dumps({"n_docs": spark.read.parquet(f'{work}/prep/dd_docs').count()}))
+"""
+    script = r"""
+import json, sys, time
+from el.conf import get_spark
+from el.dedup import ngram_jaccard_pairs
+level, work, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+spark = get_spark('ddscale', master=f'local[{level}]',
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(f'{work}/prep/dd_docs')
+n = docs.count()
+pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, method="minhash")
+walls = []
+for _ in range(reps):
+    t = time.time()
+    pairs.write.format("noop").mode("overwrite").save()
+    walls.append(time.time() - t)
+n_pairs = pairs.count()
+print(json.dumps({"level": level, "n_docs": n, "n_pairs": n_pairs,
+                  "walls": walls}))
+"""
+    env = dict(os.environ)
+    env.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    proc = subprocess.run(
+        [sys.executable, "-c", prep, work, str(n_docs)],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    if not [l for l in proc.stdout.splitlines() if l.startswith("{")]:
+        sys.stderr.write(proc.stderr[-2000:])
+        raise RuntimeError("dedup kernel prep failed")
+    out = {}
+    pair_counts = set()
+    for level in levels:
+        proc = subprocess.run(
+            _pin_prefix(level if pin else None)
+            + [sys.executable, "-c", script, str(level), work, str(reps)],
+            capture_output=True, text=True, env=env, cwd=REPO,
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(proc.stderr[-2000:])
+            raise RuntimeError(f"dedup kernel run at local[{level}] failed")
+        r = json.loads(lines[-1])
+        pair_counts.add(r["n_pairs"])
+        out[level] = {
+            "min_wall_sec": round(min(r["walls"]), 2),
+            "walls": [round(w, 2) for w in r["walls"]],
+            "docs_per_sec": round(r["n_docs"] / min(r["walls"]), 1),
+            "n_pairs": r["n_pairs"],
+        }
+    if len(pair_counts) != 1:
+        raise RuntimeError(
+            f"dd4b pair count drifted across parallelism levels: {out}"
+        )
+    return out
+
+
 def main() -> None:
     import argparse
 
@@ -206,6 +307,12 @@ def main() -> None:
                          "hypervisor's multi-second random vCPU stalls)")
     ap.add_argument("--no-pin", action="store_true",
                     help="disable CPU pinning (r1's flawed protocol)")
+    ap.add_argument("--dedup-docs", type=int, default=96_000,
+                    help="corpus rows for the dd4b dedup-kernel sweep")
+    ap.add_argument("--mode", choices=["full", "kernel-dedup"],
+                    default="full",
+                    help="kernel-dedup: run ONLY the dd4b kernel sweep "
+                         "(one JSON line), skipping the pipeline runs")
     args = ap.parse_args()
 
     pin = not args.no_pin
@@ -224,6 +331,35 @@ def main() -> None:
             pass
         work = tempfile.mkdtemp(prefix="el_scaling_", dir=base)
     os.makedirs(work, exist_ok=True)
+
+    if args.mode == "kernel-dedup":
+        levels = [int(x) for x in args.kernel_levels.split(",") if x]
+        kernel = dedup_kernel_scaling(
+            work, levels, args.kernel_reps, args.dedup_docs, pin=pin
+        )
+        eff = {}
+        for a in levels:
+            for b in levels:
+                if b == 4 * a:
+                    eff[f"{a}->{b}"] = round(
+                        kernel[b]["docs_per_sec"]
+                        / (4.0 * kernel[a]["docs_per_sec"]),
+                        3,
+                    )
+        print(json.dumps({
+            "kernel": "dd4b ngram_jaccard_pairs (minhash)",
+            "docs": args.dedup_docs,
+            "protocol": (
+                "cpu-pinned (taskset: core budget == parallelism)" if pin
+                else "unpinned"
+            ),
+            "workdir_fs": "tmpfs" if work.startswith("/dev/shm") else "disk",
+            "dedup_kernel_scaling": kernel,
+            "dedup_kernel_efficiency_Nto4N": eff,
+            "workdir": work,
+        }))
+        return
+
     zpath = make_zip(work)
     model_dir = os.path.join(work, "models")
 
