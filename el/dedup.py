@@ -209,8 +209,12 @@ def _exact_jaccard_verify(
 # bucket's self-join contribution to ~K^2/2 pairs on one reducer while
 # truncating nothing at fixture/bench scales; ORACLE registry entries
 # pass max_bucket=None explicitly, because their hash-exact truth
-# comparison must see the uncapped candidate set. Truncation is never
-# silent — cap_bucket_members load stats record what was dropped.
+# comparison must see the uncapped candidate set. The default makes
+# candidate generation LOSSY for buckets past the cap (a deterministic
+# subset is kept) — that is the intended 100 TB trade; callers who
+# need drop accounting run bucket_load_stats over the same keyed
+# table (opt-in diagnostic, costs one aggregate), or pass None for
+# lossless semantics.
 DEFAULT_MAX_BUCKET = 1000
 
 

@@ -41,14 +41,6 @@ JW_MAX_LEN = 128
 _KERNEL_BUDGET = 1 << 26
 
 
-def _pack(strings: list[str], width: int) -> np.ndarray:
-    buf = bytearray()
-    for s in strings:
-        b = s.encode("utf-8", errors="replace")[:width]
-        buf += b + b"\x00" * (width - len(b))
-    return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(len(strings), width)
-
-
 def _pack_bytes(bs: list[bytes], width: int) -> np.ndarray:
     buf = bytearray()
     for b in bs:
@@ -56,12 +48,23 @@ def _pack_bytes(bs: list[bytes], width: int) -> np.ndarray:
     return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(len(bs), width)
 
 
-def jaro(a: list[str], b: list[str]) -> np.ndarray:
-    n = len(a)
-    if n == 0:
-        return np.zeros(0)
+def _encode_pair(a: list[str], b: list[str]) -> tuple[list[bytes], list[bytes]]:
+    """One UTF-8 encode pass per batch, truncated to JW_MAX_LEN; shared
+    by jaro() and jaro_winkler() so the hostile-input path never pays
+    a second full-string encode."""
     enc_a = [s.encode("utf-8", errors="replace")[:JW_MAX_LEN] for s in a]
     enc_b = [s.encode("utf-8", errors="replace")[:JW_MAX_LEN] for s in b]
+    return enc_a, enc_b
+
+
+def jaro(a: list[str], b: list[str]) -> np.ndarray:
+    if len(a) == 0:
+        return np.zeros(0)
+    return _jaro_enc(*_encode_pair(a, b))
+
+
+def _jaro_enc(enc_a: list[bytes], enc_b: list[bytes]) -> np.ndarray:
+    n = len(enc_a)
     la_all = np.fromiter((len(x) for x in enc_a), np.int64, count=n)
     lb_all = np.fromiter((len(x) for x in enc_b), np.int64, count=n)
     wrow = np.maximum(np.maximum(la_all, lb_all), 1)
@@ -153,13 +156,14 @@ def _jaro_block(
 
 
 def jaro_winkler(a: list[str], b: list[str]) -> np.ndarray:
-    j = jaro(a, b)
     n = len(a)
     if n == 0:
-        return j
-    width = _WINKLER_MAX_PREFIX
-    A = _pack(a, width)
-    B = _pack(b, width)
+        return np.zeros(0)
+    enc_a, enc_b = _encode_pair(a, b)  # encode ONCE for jaro + prefix
+    j = _jaro_enc(enc_a, enc_b)
+    width = _WINKLER_MAX_PREFIX  # <= JW_MAX_LEN, so prefixes are exact
+    A = _pack_bytes([e[:width] for e in enc_a], width)
+    B = _pack_bytes([e[:width] for e in enc_b], width)
     neq = (A != B) | (A == 0)
     first_diff = np.argmax(neq, axis=1)
     all_eq = ~neq.any(axis=1)

@@ -391,13 +391,23 @@ class IvfModel:
         )
 
     def save(self, path: str) -> None:
+        """Atomic artifact commit (the catalog's marker discipline):
+        centroids.npy is written first, then meta.json lands via
+        tmp+fsync+rename — the artifact is visible to fit_or_load's
+        meta.json gate only once both files are fully on disk, so a
+        mid-save kill can never leave a loadable-but-corrupt model."""
         import json
         import os
 
         os.makedirs(path, exist_ok=True)
         np.save(os.path.join(path, "centroids.npy"), self.centroids)
-        with open(os.path.join(path, "meta.json"), "w") as f:
+        final = os.path.join(path, "meta.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self.meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)
 
     @classmethod
     def load(cls, path: str) -> "IvfModel":
@@ -412,11 +422,24 @@ class IvfModel:
     @classmethod
     def fit_or_load(cls, df: DataFrame, path: str, **fit_kw) -> "IvfModel":
         """Load the committed artifact if present, else fit and save —
-        the same idempotent pattern the runner uses for TF-IDF/LDA."""
+        the same idempotent pattern the runner uses for TF-IDF/LDA.
+
+        A loaded artifact must MATCH the requested fit params: meta
+        stores them, and silently serving an 8-centroid quantizer to a
+        caller who asked for 32 would change nprobe behavior/recall
+        with no error. Mismatch raises; delete or re-path to refit."""
         import os
 
         if os.path.exists(os.path.join(path, "meta.json")):
-            return cls.load(path)
+            model = cls.load(path)
+            for k, v in fit_kw.items():
+                if k in model.meta and model.meta[k] != v:
+                    raise ValueError(
+                        f"IVF artifact at {path} was fit with "
+                        f"{k}={model.meta[k]}, but {k}={v} was requested "
+                        "— refusing to silently serve a mismatched model"
+                    )
+            return model
         model = cls.fit(df, **fit_kw)
         model.save(path)
         return model

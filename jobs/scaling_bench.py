@@ -195,10 +195,13 @@ def dedup_kernel_scaling(work: str, levels: list[int], reps: int,
     to the dd4b near-dup kernel (VERDICT r3 #5): MinHash band keys ->
     capped bucket self-join -> size-ratio prune -> exact-Jaccard
     verify, over a pre-materialized document corpus, noop sink. The
-    corpus is gen_web_pages text at bench scale (planted recrawl/
-    phrasing near-dups), so the candidate stage does real work at
-    every level. Throughput unit: docs/sec (corpus rows / wall);
-    n_pairs recorded for cross-level result-identity."""
+    corpus is the synthetic generator in the prep script below —
+    60-token docs from a 4096-word vocab, every 4th doc a 10%-token-
+    perturbed near-dup of its predecessor, each row a pure function of
+    doc_id — so the verify stage does real work at every level and the
+    input is bit-identical across parallelisms. Throughput unit:
+    docs/sec (corpus rows / wall); n_pairs recorded and asserted
+    identical across levels."""
     prep = r"""
 import json, sys
 import numpy as np

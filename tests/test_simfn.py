@@ -142,3 +142,30 @@ def test_cosine_dense():
     assert got[0] == pytest.approx(1.0)
     assert got[1] == pytest.approx(0.0)
     assert got[2] == 0.0
+
+
+def test_jw_oracle_inputs_stay_under_max_len():
+    """Coupling guard: the f5/lk1 driver oracles compare our
+    JW_MAX_LEN-truncated kernel against DuckDB's UNTRUNCATED
+    jaro_winkler_similarity — which only hash-matches while every
+    oracle input string fits in JW_MAX_LEN bytes. Pin that invariant
+    on the driver SFs so a future fixture/SF change fails HERE with a
+    clear message instead of as an opaque driver hash mismatch."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        mx = con.execute(
+            f"""
+            SELECT greatest(max(strlen(lower(p_brand))),
+                            max(strlen(lower(p_type))),
+                            max(strlen(lower(p_name))))
+            FROM read_parquet('/root/testdata/{sf}/part.parquet')
+            """
+        ).fetchone()[0]
+        assert mx <= JW_MAX_LEN, (
+            f"{sf}: a part column reaches {mx} bytes > JW_MAX_LEN="
+            f"{JW_MAX_LEN}; the f5/lk1 DuckDB oracles would diverge from "
+            "the truncated kernel — truncate in the oracle SQL or raise "
+            "JW_MAX_LEN"
+        )
