@@ -315,3 +315,20 @@ def test_budget_select_single_shuffle_on_group(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_default_capped_generators_plan_shape(spark):
+    """r4: the production hot-bucket cap (DEFAULT_MAX_BUCKET) must
+    compile to a rank-pushdown plan, not a full materialize-then-
+    filter: WindowGroupLimit prunes each bucket to the cap BEFORE the
+    self-join sees it, and the capped plan stays cartesian-free."""
+    from el.dedup import minhash_lsh_pairs, simhash_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for gen in (minhash_lsh_pairs, simhash_pairs):
+        plan = _plan(gen(docs))
+        assert "WindowGroupLimit" in plan, gen.__name__
+        assert "Cartesian" not in plan, gen.__name__
+        # uncapped oracle form: no window machinery at all
+        plain = _plan(gen(docs, max_bucket=None))
+        assert "WindowGroupLimit" not in plain, gen.__name__
