@@ -174,3 +174,80 @@ def budget_select(
             (F.col("spent_before") + F.col(token_col)).cast("long"),
         )
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    threshold: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Training-corpus decontamination against an evaluation benchmark
+    (the GPT-3-appendix / CCNet discipline): a training document is
+    contaminated when it shares >= ``threshold`` distinct token
+    ``n``-grams with ANY benchmark text, because eval answers leaking
+    into training data silently inflate benchmark scores.
+
+    Returns one row per non-null-text doc:
+    ``(id, n_grams, n_contaminated, contamination_frac, contaminated)``
+    where n_grams is the doc's distinct-gram count, n_contaminated the
+    count of those grams that appear anywhere in the benchmark, and
+    contamination_frac their single-IEEE-division ratio (oracle-
+    mirrorable operand order).
+
+    Scale shape: the benchmark side collapses to DISTINCT grams once
+    (eval suites are tiny next to a training corpus — broadcast by
+    default; pass broadcast_bench=False for a giant benchmark and the
+    equi-join shuffles instead). The corpus side is one linear explode
+    to (id, gram) postings; the join key is md5(gram), a fixed-width
+    32-hex key, so at n=13 the shuffle/broadcast carries digests, not
+    ~100-byte gram strings. Per-doc totals come from the pre-explode
+    array size — no second pass over the text. Default n=13 matches
+    the GPT-3 decontamination spec; fixtures use smaller n so planted
+    overlaps actually occur at test scale."""
+    from el.dedup import token_ngrams
+
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), token_ngrams(F.col(text_col), n).alias("_g")
+    )
+    totals = base.select(
+        id_col, F.size("_g").cast("long").alias("n_grams")
+    )
+    # explode the md5s, not the grams: generators can't nest inside
+    # expressions, and transform() hashes JVM-side before the explode,
+    # so gram strings never leave their row
+    posts = base.select(
+        id_col,
+        F.explode(F.transform("_g", F.md5)).alias("_gh"),
+    )
+    bgrams = (
+        bench.where(F.col(bench_text_col).isNotNull())
+        .select(
+            F.explode(
+                F.transform(token_ngrams(F.col(bench_text_col), n), F.md5)
+            ).alias("_gh")
+        )
+        .distinct()
+    )
+    if broadcast_bench:
+        bgrams = F.broadcast(bgrams)
+    # grams are distinct per doc (token_ngrams array_distincts), so a
+    # plain post-join count(*) is the distinct contaminated-gram count
+    hits = posts.join(bgrams, on="_gh").groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_contaminated")
+    )
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
+    frac = n_cont.cast("double") / F.greatest(
+        F.col("n_grams"), F.lit(1)
+    ).cast("double")
+    return totals.join(hits, on=id_col, how="left").select(
+        id_col,
+        "n_grams",
+        n_cont.alias("n_contaminated"),
+        frac.alias("contamination_frac"),
+        (n_cont >= threshold).alias("contaminated"),
+    )

@@ -2111,6 +2111,53 @@ def ds4_budget_select(spark, sf_dir):
 
 
 @check(
+    "dc1_benchmark_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, {t} AS t FROM documents WHERE text IS NOT NULL
+    ), g AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 0) + 1),
+               i -> array_to_string(t[i:i+4], ' '))) AS grams
+      FROM toks
+    ), tot AS (
+      SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM g
+    ), posts AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g
+    ), bg AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 37 = 0
+    ), hits AS (
+      SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_cont
+      FROM posts p JOIN bg USING (gram) GROUP BY p.doc_id
+    )
+    SELECT t.doc_id, t.n_grams,
+           CAST(coalesce(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(h.n_cont, 0) AS DOUBLE)
+             / CAST(greatest(t.n_grams, 1) AS DOUBLE)
+             AS contamination_frac,
+           coalesce(h.n_cont, 0) >= 3 AS contaminated
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """.format(t=_TOKS_SQL),
+)
+def dc1_benchmark_contamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-appendix / CCNet discipline,
+    el.datasets.benchmark_contamination): flag training docs sharing
+    >= 3 distinct token 5-grams with a deterministic "benchmark" set
+    (docs with doc_id % 37 == 0 stand in for an eval suite — their
+    planted near-dups in the corpus are exactly the leakage the op
+    exists to catch). DuckDB recomputes the whole gram/overlap chain
+    independently; contamination_frac is one IEEE division with
+    mirrored operand order, so the check is hash-exact. Production
+    default is n=13 per the GPT-3 spec; fixtures use n=5 so overlaps
+    occur at test scale."""
+    from el.datasets import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0)
+    return benchmark_contamination(d, bench, n=5, threshold=3)
+
+
+@check(
     "diag1_key_skew_orders",
     oracle="""
     WITH c AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt

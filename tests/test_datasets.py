@@ -153,3 +153,39 @@ def test_sample_independent_of_split(spark):
         n_kept = s.where(F.col("split") == split).count()
         frac = n_kept / n_all
         assert 0.35 < frac < 0.65, (split, frac)
+
+
+def test_benchmark_contamination_crafted(spark):
+    """Hand-checked decontamination: doc 1 contains a benchmark
+    sentence verbatim (contaminated), doc 2 shares fewer than
+    threshold grams, doc 3 is clean, doc 4 is too short to produce a
+    gram. Benchmark side is broadcast (plan-audited)."""
+    from el.datasets import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over the lazy dog tonight and more"),
+            (2, "quick brown fox sleeps under a tree"),
+            (3, "completely unrelated words in this document here"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = benchmark_contamination(docs, bench, n=3, threshold=2)
+    got = {r.doc_id: r for r in out.collect()}
+    # doc 1: the 10-token benchmark sentence contributes 8 shared 3-grams
+    assert got[1].n_contaminated == 8 and got[1].contaminated
+    assert got[1].n_grams == 13  # 15 tokens -> 13 trigrams, all distinct
+    assert got[1].contamination_frac == 8 / 13
+    # doc 2 shares exactly one trigram ("quick brown fox") -> below 2
+    assert got[2].n_contaminated == 1 and not got[2].contaminated
+    assert got[3].n_contaminated == 0 and not got[3].contaminated
+    # doc 4: 2 tokens -> no trigrams; frac guarded by greatest(.,1)
+    assert got[4].n_grams == 0 and got[4].contamination_frac == 0.0
+    # scale shape: benchmark grams arrive by broadcast
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
