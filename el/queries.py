@@ -2158,6 +2158,59 @@ def dc1_benchmark_contamination(spark, sf_dir):
 
 
 @check(
+    "lm1_bigram_rarity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, {t} AS t FROM documents WHERE text IS NOT NULL
+    ), bk AS (
+      SELECT doc_id, list_transform(t, x ->
+               CAST('0x' || substr(md5(x || 'lm'), 1, 8) AS BIGINT) % 65536)
+             AS b
+      FROM toks
+    ), keys AS (
+      SELECT doc_id, list_transform(
+               range(1, greatest(len(b) - 1, 0) + 1),
+               i -> b[i] * 65536 + b[i + 1]) AS ks
+      FROM bk
+    ), tot AS (
+      SELECT doc_id, CAST(len(ks) AS BIGINT) AS n_bigrams FROM keys
+    ), posts AS (
+      SELECT doc_id, unnest(ks) AS k FROM keys
+    ), cnt AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS c FROM posts GROUP BY k
+    ), sc AS (
+      SELECT p.doc_id,
+             CAST(sum(CASE WHEN c <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare,
+             CAST(sum(c) AS BIGINT) AS sum_count
+      FROM posts p JOIN cnt USING (k) GROUP BY p.doc_id
+    )
+    SELECT t.doc_id, t.n_bigrams,
+           CAST(coalesce(s.n_rare, 0) AS BIGINT) AS n_rare,
+           CAST(coalesce(s.n_rare, 0) AS DOUBLE)
+             / CAST(greatest(t.n_bigrams, 1) AS DOUBLE) AS rare_frac,
+           CAST(coalesce(s.sum_count, 0) AS BIGINT) AS sum_count,
+           CAST(coalesce(s.sum_count, 0) AS DOUBLE)
+             / CAST(greatest(t.n_bigrams, 1) AS DOUBLE) AS avg_count
+    FROM tot t LEFT JOIN sc s USING (doc_id)
+    """.format(t=_TOKS_SQL),
+)
+def lm1_bigram_rarity(spark, sf_dir):
+    """Corpus-statistical quality signal (CCNet shape: fit a corpus
+    language model, gate documents on it): fit = md5-bucketed token-
+    bigram occurrence counts over the whole corpus; score = per-doc
+    rare-bigram rate + mean bigram frequency. Rarity rate is the
+    exact-arithmetic analog of LM perplexity — transcendental-free,
+    so DuckDB recomputes the identical fit AND score from scratch and
+    the check is hash-exact (two single IEEE divisions, mirrored
+    operand order; everything else exact integers)."""
+    from el.textops import bigram_rarity, corpus_bigram_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_rarity(d, corpus_bigram_counts(d))
+
+
+@check(
     "diag1_key_skew_orders",
     oracle="""
     WITH c AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt

@@ -410,3 +410,107 @@ def nfc_normalize_text(
         "text_nfc",
         (F.col("text_nfc") != F.col(text_col)).alias("changed"),
     )
+
+
+# -- corpus-statistical quality: bigram rarity (CCNet-style) -------------
+
+
+def _token_bigram_keys(text_col, n_buckets: int, seed: str):
+    """Token-bigram keys as a Spark expression: each token md5-bucketed
+    (the ds1 cross-engine-portable hash), adjacent buckets packed into
+    one long ``b1 * n_buckets + b2``. Fixed-width integer keys — the
+    count-table shuffle and the scoring join never carry token text."""
+    toks = tokens_of(F.col(text_col))
+    bk = F.transform(
+        toks,
+        lambda t: (
+            F.conv(F.substring(F.md5(F.concat(t, F.lit(seed))), 1, 8), 16, 10)
+            .cast("long")
+            % n_buckets
+        ),
+    )
+    glen = F.greatest(F.size(bk) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(bk, 1, glen),
+        F.slice(bk, 2, glen),
+        lambda a, b: a * n_buckets + b,
+    )
+
+
+def corpus_bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1 << 16,
+    seed: str = "lm",
+) -> DataFrame:
+    """Fit step of the CCNet-shaped corpus language-model signal:
+    occurrence counts per (bucketed) token bigram over the whole
+    corpus. One explode -> hash groupBy with map-side partial
+    aggregation; the table is bounded by min(distinct bigrams,
+    n_buckets^2) and stays DISTRIBUTED — scoring joins it, nothing
+    collects. A persisted counts table is the model artifact; refit
+    only on corpus change (the TF-IDF discipline)."""
+    keys = _token_bigram_keys(text_col, n_buckets, seed)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(keys).alias("bigram_key"))
+        .groupBy("bigram_key")
+        .agg(F.count("*").cast("long").alias("bigram_count"))
+    )
+
+
+def bigram_rarity(
+    df: DataFrame,
+    counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 16,
+    seed: str = "lm",
+    rare_max: int = 1,
+) -> DataFrame:
+    """Score step: per document, how much of it is made of corpus-rare
+    token bigrams (CCNet uses LM perplexity for this gate; the rarity
+    rate is the exact-arithmetic analog — transcendental-free, so the
+    DuckDB oracle hash-matches bit-for-bit instead of trusting two
+    libm implementations to round log() identically).
+
+    Returns ``(id, n_bigrams, n_rare, rare_frac, sum_count,
+    avg_count)``: n_rare counts bigram OCCURRENCES whose corpus count
+    is <= rare_max (hapax bigrams by default — gibberish and OCR noise
+    score high, boilerplate scores ~0), rare_frac and avg_count are
+    single IEEE divisions with oracle-mirrored operand order.
+
+    Scale: one explode to integer postings, one equi-join against the
+    counts table on a long key (broadcast-able when the fitted table
+    is small; AQE decides), one groupBy id — all linear. Every doc's
+    bigrams exist in the counts table by construction when scored
+    against its own corpus fit, so the join is inner without loss;
+    docs shorter than 2 tokens surface with zeroed stats."""
+    keys = _token_bigram_keys(text_col, n_buckets, seed)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), keys.alias("_k")
+    )
+    totals = base.select(id_col, F.size("_k").cast("long").alias("n_bigrams"))
+    posts = base.select(id_col, F.explode("_k").alias("bigram_key"))
+    scored = (
+        posts.join(counts, on="bigram_key")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(
+                F.when(F.col("bigram_count") <= rare_max, 1).otherwise(0)
+            ).cast("long").alias("n_rare"),
+            F.sum("bigram_count").cast("long").alias("sum_count"),
+        )
+    )
+    n_rare = F.coalesce(F.col("n_rare"), F.lit(0)).cast("long")
+    sum_c = F.coalesce(F.col("sum_count"), F.lit(0)).cast("long")
+    denom = F.greatest(F.col("n_bigrams"), F.lit(1)).cast("double")
+    return totals.join(scored.drop("_n"), on=id_col, how="left").select(
+        id_col,
+        "n_bigrams",
+        n_rare.alias("n_rare"),
+        (n_rare.cast("double") / denom).alias("rare_frac"),
+        sum_c.alias("sum_count"),
+        (sum_c.cast("double") / denom).alias("avg_count"),
+    )

@@ -259,3 +259,34 @@ def test_nfc_normalize_composed_equals_decomposed(spark):
     assert got[4].text_nfc is None
     # the repaired forms now exact-dedup together
     assert got[1].text_nfc == got[2].text_nfc
+
+
+def test_bigram_rarity_crafted(spark):
+    """Hand-checked corpus-LM rarity: 'common phrase here' appears in
+    3 docs (its bigrams have corpus count 3), doc 3 adds a hapax tail
+    whose bigrams occur once; doc 4 is a single token (no bigrams)."""
+    from el.textops import bigram_rarity, corpus_bigram_counts
+
+    rows = [
+        (1, "common phrase here"),
+        (2, "common phrase here"),
+        (3, "common phrase here unique gibberish tail"),
+        (4, "solo"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in bigram_rarity(d, corpus_bigram_counts(d)).collect()
+    }
+    # docs 1/2: bigrams (common,phrase),(phrase,here) each count 3
+    for i in (1, 2):
+        assert out[i].n_bigrams == 2 and out[i].n_rare == 0
+        assert out[i].sum_count == 6 and out[i].avg_count == 3.0
+        assert out[i].rare_frac == 0.0
+    # doc 3: 5 bigrams; the first two shared (count 3), the last three
+    # hapax (count 1) -> rare_frac 3/5, sum 3+3+1+1+1
+    assert out[3].n_bigrams == 5 and out[3].n_rare == 3
+    assert out[3].rare_frac == 3 / 5 and out[3].sum_count == 9
+    # doc 4: no bigrams, zeroed stats, guarded divisions
+    assert out[4].n_bigrams == 0 and out[4].n_rare == 0
+    assert out[4].rare_frac == 0.0 and out[4].avg_count == 0.0
