@@ -69,6 +69,9 @@ HEADLINE_OPTIONAL = [
     "dd9_shared_span_pairs",
     "j9_bloom_semi_orders",
     "s7_warc_roundtrip",
+    # r4: benchmark decontamination + corpus bigram-rarity quality
+    "dc1_benchmark_contamination",
+    "lm1_bigram_rarity",
 ]
 
 
