@@ -2180,13 +2180,16 @@ def dc1_benchmark_contamination(spark, sf_dir):
       SELECT k, CAST(count(*) AS BIGINT) AS c FROM posts GROUP BY k
     ), sc AS (
       SELECT p.doc_id,
-             CAST(sum(CASE WHEN c <= 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_rare,
-             CAST(sum(c) AS BIGINT) AS sum_count
-      FROM posts p JOIN cnt USING (k) GROUP BY p.doc_id
+             CAST(sum(CASE WHEN coalesce(c, 0) <= 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_rare,
+             CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unseen,
+             CAST(sum(coalesce(c, 0)) AS BIGINT) AS sum_count
+      FROM posts p LEFT JOIN cnt USING (k) GROUP BY p.doc_id
     )
     SELECT t.doc_id, t.n_bigrams,
            CAST(coalesce(s.n_rare, 0) AS BIGINT) AS n_rare,
+           CAST(coalesce(s.n_unseen, 0) AS BIGINT) AS n_unseen,
            CAST(coalesce(s.n_rare, 0) AS DOUBLE)
              / CAST(greatest(t.n_bigrams, 1) AS DOUBLE) AS rare_frac,
            CAST(coalesce(s.sum_count, 0) AS BIGINT) AS sum_count,
@@ -2203,7 +2206,11 @@ def lm1_bigram_rarity(spark, sf_dir):
     exact-arithmetic analog of LM perplexity — transcendental-free,
     so DuckDB recomputes the identical fit AND score from scratch and
     the check is hash-exact (two single IEEE divisions, mirrored
-    operand order; everything else exact integers)."""
+    operand order; everything else exact integers). Both sides score
+    via a LEFT join with count coalesced to 0, so bigrams unseen by
+    the fit are maximally rare (n_unseen surfaces them) — exercised
+    cross-corpus in tests/test_textops.py; identically 0 here because
+    the oracle config scores the fit corpus against itself."""
     from el.textops import bigram_rarity, corpus_bigram_counts
 
     d = _t(spark, sf_dir, "documents")

@@ -125,9 +125,6 @@ def _jaro_block(
     # transpositions: compare a-order matched b-positions to sorted order
     big = width + 1
     qa = np.where(match_q >= 0, match_q, big)
-    qa_sorted_by_p = np.sort(
-        np.where(match_q >= 0, np.arange(width)[None, :], big), axis=1
-    )
     # b-positions in a-order: match_q at found p positions, left-packed
     order = np.argsort(np.where(match_q >= 0, np.arange(width)[None, :], big), axis=1)
     q_in_a_order = np.take_along_axis(match_q, order, axis=1)  # -1s at tail
@@ -151,7 +148,6 @@ def _jaro_block(
         j = (mf / la + mf / lb + (mf - t) / np.where(mf == 0, 1, mf)) / 3.0
     # m == 0 (incl. either/both empty) -> 0.0, matching DuckDB's convention
     j = np.where(m == 0, 0.0, j)
-    _ = qa_sorted_by_p  # (kept for clarity of derivation)
     return j
 
 

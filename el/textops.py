@@ -474,42 +474,53 @@ def bigram_rarity(
     DuckDB oracle hash-matches bit-for-bit instead of trusting two
     libm implementations to round log() identically).
 
-    Returns ``(id, n_bigrams, n_rare, rare_frac, sum_count,
+    Returns ``(id, n_bigrams, n_rare, n_unseen, rare_frac, sum_count,
     avg_count)``: n_rare counts bigram OCCURRENCES whose corpus count
     is <= rare_max (hapax bigrams by default — gibberish and OCR noise
     score high, boilerplate scores ~0), rare_frac and avg_count are
     single IEEE divisions with oracle-mirrored operand order.
 
+    Cross-corpus reuse (the persisted-artifact path): a bigram ABSENT
+    from the fitted counts table has corpus count 0 — the rarest
+    possible — so the postings LEFT-join the counts table and a
+    missing count coalesces to 0, which always satisfies
+    ``count <= rare_max``. Never-seen bigrams therefore count toward
+    n_rare (and are surfaced separately as n_unseen occurrences);
+    scoring new documents against an old fit ranks novel gibberish
+    HIGHEST, as the gate requires. When scoring the fit corpus against
+    itself every bigram is present and n_unseen is identically 0.
+
     Scale: one explode to integer postings, one equi-join against the
     counts table on a long key (broadcast-able when the fitted table
-    is small; AQE decides), one groupBy id — all linear. Every doc's
-    bigrams exist in the counts table by construction when scored
-    against its own corpus fit, so the join is inner without loss;
-    docs shorter than 2 tokens surface with zeroed stats."""
+    is small; AQE decides), one groupBy id — all linear; docs shorter
+    than 2 tokens surface with zeroed stats."""
     keys = _token_bigram_keys(text_col, n_buckets, seed)
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), keys.alias("_k")
     )
     totals = base.select(id_col, F.size("_k").cast("long").alias("n_bigrams"))
     posts = base.select(id_col, F.explode("_k").alias("bigram_key"))
+    cnt0 = F.coalesce(F.col("bigram_count"), F.lit(0).cast("long"))
     scored = (
-        posts.join(counts, on="bigram_key")
+        posts.join(counts, on="bigram_key", how="left")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("_n"),
-            F.sum(
-                F.when(F.col("bigram_count") <= rare_max, 1).otherwise(0)
-            ).cast("long").alias("n_rare"),
-            F.sum("bigram_count").cast("long").alias("sum_count"),
+            F.sum(F.when(cnt0 <= rare_max, 1).otherwise(0))
+            .cast("long").alias("n_rare"),
+            F.sum(F.when(F.col("bigram_count").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_unseen"),
+            F.sum(cnt0).cast("long").alias("sum_count"),
         )
     )
     n_rare = F.coalesce(F.col("n_rare"), F.lit(0)).cast("long")
+    n_uns = F.coalesce(F.col("n_unseen"), F.lit(0)).cast("long")
     sum_c = F.coalesce(F.col("sum_count"), F.lit(0)).cast("long")
     denom = F.greatest(F.col("n_bigrams"), F.lit(1)).cast("double")
-    return totals.join(scored.drop("_n"), on=id_col, how="left").select(
+    return totals.join(scored, on=id_col, how="left").select(
         id_col,
         "n_bigrams",
         n_rare.alias("n_rare"),
+        n_uns.alias("n_unseen"),
         (n_rare.cast("double") / denom).alias("rare_frac"),
         sum_c.alias("sum_count"),
         (sum_c.cast("double") / denom).alias("avg_count"),

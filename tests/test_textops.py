@@ -290,3 +290,42 @@ def test_bigram_rarity_crafted(spark):
     # doc 4: no bigrams, zeroed stats, guarded divisions
     assert out[4].n_bigrams == 0 and out[4].n_rare == 0
     assert out[4].rare_frac == 0.0 and out[4].avg_count == 0.0
+    # self-fit: every bigram exists in the counts table by construction
+    assert all(r.n_unseen == 0 for r in out.values())
+
+
+def test_bigram_rarity_cross_corpus_unseen(spark):
+    """The persisted-artifact path (r4 verdict #1): score NEW documents
+    against an OLD fit. Bigrams absent from the fit have corpus count 0
+    — maximally rare — so a planted gibberish doc whose bigrams the fit
+    has never seen must score HIGHEST, with its novelty surfaced as
+    n_unseen; a doc made of fit-corpus boilerplate must score ~0."""
+    from el.textops import bigram_rarity, corpus_bigram_counts
+
+    fit_rows = [(i, "the quick brown fox jumps over the lazy dog")
+                for i in range(1, 6)]
+    fit = spark.createDataFrame(fit_rows, "doc_id long, text string")
+    counts = corpus_bigram_counts(fit)
+    new_rows = [
+        # pure fit-corpus boilerplate: every bigram seen 5 times
+        (101, "the quick brown fox jumps over the lazy dog"),
+        # planted OCR gibberish: no bigram exists in the fit
+        (102, "zxqv wmfr ktjp blnd qqzz vvkk"),
+        # half seen, half novel
+        (103, "the quick brown fox zzyy xxww"),
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_rarity(new, counts).collect()}
+    # boilerplate: nothing rare, nothing unseen
+    assert out[101].n_rare == 0 and out[101].n_unseen == 0
+    assert out[101].rare_frac == 0.0
+    # gibberish: all 5 bigrams unseen -> all rare -> rare_frac 1.0,
+    # and unseen bigrams contribute 0 to sum_count
+    assert out[102].n_bigrams == 5
+    assert out[102].n_unseen == 5 and out[102].n_rare == 5
+    assert out[102].rare_frac == 1.0 and out[102].sum_count == 0
+    # mixed doc sits strictly between; gibberish ranks HIGHEST
+    assert 0.0 < out[103].rare_frac < 1.0
+    assert out[103].n_unseen == 2  # (fox,zzyy) and (zzyy,xxww)
+    ranked = sorted(out.values(), key=lambda r: -r.rare_frac)
+    assert ranked[0].doc_id == 102
