@@ -108,23 +108,50 @@ def _ann3_prefit(spark, sf_dir):
     measured separately."""
     import hashlib
     import os
-    import tempfile
 
     from el.io import load_table
     from el.similarity import IvfModel
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # tag keyed on path + data mtime/size: a regenerated corpus can
-    # never silently reuse a stale quantizer
+    # Cache discipline (ADVICE r4): the artifact lives under a fresh
+    # per-RUN private dir (never a shared world-writable /tmp path a
+    # stale or hostile run could pre-populate), and the tag is keyed
+    # on the DATA-FILE listing — relpath + size + mtime_ns of every
+    # file under the parquet path — because a directory's own stat
+    # does not track in-place rewrites of same-named part files.
+    # Within one bench run, rep 1 fits and commits, later reps load:
+    # min-of-reps reports the fit-free production query wall.
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
-    mdir = os.path.join(tempfile.gettempdir(), "el_bench_models", f"ivf_{tag}")
+    entries = []
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append(
+                    f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    else:
+        st = os.stat(src)
+        entries.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    tag = hashlib.md5("|".join(sorted(entries)).encode()).hexdigest()[:12]
+    mdir = os.path.join(_run_scratch_dir(), f"ivf_{tag}")
     model = IvfModel.fit_or_load(emb, mdir)
     return model.topk(emb, emb.where(F.col("vec_id") < 5), k=10, nprobe=2)
+
+
+_RUN_SCRATCH: list[str] = []
+
+
+def _run_scratch_dir() -> str:
+    """One private scratch dir per bench process (mode 0700 from
+    mkdtemp) — model artifacts never cross runs or users."""
+    import tempfile
+
+    if not _RUN_SCRATCH:
+        _RUN_SCRATCH.append(tempfile.mkdtemp(prefix="el_bench_models_"))
+    return _RUN_SCRATCH[0]
 
 
 def _mm_pipeline(spark, sf_dir):
@@ -254,11 +281,37 @@ def bench_pipeline(spark, sf: float) -> tuple[dict, dict]:
     return times, info
 
 
+def _defer_under_load() -> dict:
+    """Hold the bench start while the box is busy (VERDICT r4 #2/#3:
+    a pressured window recorded 1.5-2.5x regressions on unchanged
+    plans). Polls the 1-min load average BEFORE the JVM exists and
+    waits — bounded, logged — until it drops under the threshold.
+    The check runs only at start: once local[32] is working, loadavg
+    measures the bench itself. Returns the stamp for the JSON line."""
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_MAX", "600"))
+    waited = 0.0
+    step = 10.0
+    while os.getloadavg()[0] > max_load and waited < budget:
+        time.sleep(step)
+        waited += step
+    return {
+        "load_wait_sec": round(waited, 1),
+        "load_wait_exhausted": os.getloadavg()[0] > max_load,
+        "load_max": max_load,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or "32"
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
+
+    load_stamp = _defer_under_load()
+    # box-state stamp (BASELINE.md protocol), taken BEFORE the JVM
+    # exists — once warm-up runs, loadavg measures the bench itself
+    load_start = tuple(round(x, 2) for x in os.getloadavg())
 
     from el.conf import get_spark
     from el.queries import REGISTRY
@@ -293,10 +346,6 @@ def main() -> None:
     # single-shot (they dominate the budget and checkpoint state).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     queries: dict[str, float] = {}
-    # box-state stamp (BASELINE.md protocol): this sandbox shows
-    # 20-30% hypervisor steal and multi-second vCPU stalls; a bench
-    # artifact without its load context cannot be adjudicated later
-    load_start = tuple(round(x, 2) for x in os.getloadavg())
     t_all = time.time()
     named = [(n, REGISTRY[n].fn)
              for n in HEADLINE + [q for q in HEADLINE_OPTIONAL if q in REGISTRY]]
@@ -335,6 +384,7 @@ def main() -> None:
                 "load_avg_end": tuple(
                     round(x, 2) for x in os.getloadavg()
                 ),
+                **load_stamp,
                 "pipeline": pipe_info,
             }
         )

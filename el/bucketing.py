@@ -114,7 +114,16 @@ def bucket_lookup_scope(spark: SparkSession):
     (the r3 ADVICE finding) or restores it too early for the plan to
     see. This scope makes the toggle explicit: compile AND execute
     lookups inside it. Joins are unaffected either way (their
-    distribution interest keeps the bucketed scan on)."""
+    distribution interest keeps the bucketed scan on).
+
+    Thread-safety caveat (ADVICE r4): the toggle is a SESSION-global
+    conf, so concurrent queries compiled on the same SparkSession while
+    a scope is open also see autoBucketedScan=false — correct results,
+    possibly unpruned-or-differently-planned scans. Don't hold the
+    scope around unrelated concurrent work; for isolation, plan
+    lookups on ``spark.newSession()`` (separate conf, shared catalog/
+    warehouse), which is what a multi-tenant lookup service should do
+    anyway."""
     prev = spark.conf.get(_AUTO_BUCKETED_SCAN)
     spark.conf.set(_AUTO_BUCKETED_SCAN, "false")
     try:
@@ -127,7 +136,39 @@ def bucket_lookup(spark: SparkSession, name: str, col: str, value) -> DataFrame:
     """Point lookup on the bucket column — scans exactly one bucket
     (``SelectedBucketsCount: 1 out of N`` in the physical scan) when
     planned and executed inside :func:`bucket_lookup_scope`. Outside
-    the scope the lookup is still correct, just unpruned."""
+    the scope the lookup is still correct, just unpruned — and warns
+    (ADVICE r4: silent perf forfeiture is the failure mode here; use
+    :func:`assert_single_bucket_scan` in tests to make pruning a hard
+    invariant)."""
+    import warnings
+
     from pyspark.sql import functions as F
 
+    if spark.conf.get(_AUTO_BUCKETED_SCAN, "true") != "false":
+        warnings.warn(
+            "bucket_lookup planned outside bucket_lookup_scope: "
+            "autoBucketedScan will disable bucket pruning for this "
+            "point lookup (correct results, full scan). Wrap the "
+            "lookup's plan AND action in bucket_lookup_scope(spark).",
+            stacklevel=2,
+        )
     return spark.table(name).where(F.col(col) == F.lit(value))
+
+
+def assert_single_bucket_scan(df: DataFrame) -> None:
+    """Raise unless ``df``'s physical scan prunes to exactly one
+    bucket. A pruned-scan assertion helper for tests and jobs that
+    treat lookup pruning as a correctness-of-plan invariant."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    if not m:
+        raise AssertionError(
+            "no bucket pruning in plan (SelectedBucketsCount absent) — "
+            "was the lookup planned inside bucket_lookup_scope?"
+        )
+    if int(m.group(1)) != 1:
+        raise AssertionError(
+            f"scan reads {m.group(1)} of {m.group(2)} buckets, want 1"
+        )

@@ -16,7 +16,9 @@ Scale notes:
 - hot-bucket skew: every candidate generator takes ``max_bucket``
   (default DEFAULT_MAX_BUCKET = production capping; pass None for
   unbounded exact fixture/oracle semantics — oracle registry entries
-  do so explicitly). At
+  do so explicitly), including the ``method="exact"`` all-pairs path,
+  which caps block membership before its self-join (it silently
+  ignored the knob until r5). At
   100 TB a degenerate bucket — millions of boilerplate pages sharing
   a band key, or a mega-cluster of identical embeddings — turns the
   bucket self-join quadratic on one reducer; ``max_bucket=K`` bounds
@@ -286,7 +288,14 @@ def ngram_jaccard_pairs(
 
     method="exact": r1 semantics — all pairs within ``block_col``
     (quadratic within a block; retained as the small-scale oracle
-    path and for corpora with a genuinely selective block key)."""
+    path and for corpora with a genuinely selective block key).
+    ``max_bucket`` is honored here too (ADVICE r4: it used to be
+    silently ignored): block membership is capped to a deterministic
+    subset before the self-join, bounding the quadratic blowup
+    exactly as in the minhash path. With block_col=None the whole
+    corpus is ONE bucket, so the default cap keeps only
+    DEFAULT_MAX_BUCKET docs — pass max_bucket=None for the lossless
+    all-pairs baseline (every oracle entry does)."""
     base = df.where(F.col(text_col).isNotNull())
     # gram arrays are computed per doc ONCE; scatter so the (JVM but
     # single-split) gram build and the verify joins use every core
@@ -311,6 +320,8 @@ def ngram_jaccard_pairs(
         F.col(block_col) if block_col is not None else F.lit(1)
     ).alias("_blk")
     ids = base.select(F.col(id_col).alias("_id"), blk)
+    if max_bucket is not None:
+        ids = cap_bucket_members(ids, "_blk", "_id", max_bucket)
     a = ids.select(F.col("_id").alias("a_id"), "_blk")
     b = ids.select(F.col("_id").alias("b_id"), "_blk")
     cand = (
@@ -564,7 +575,10 @@ def embedding_neardup_pairs(
 
     method="exact": r1 semantics — all pairs within ``block_col``
     (or crossJoin when None). Quadratic within a block; retained as
-    the small-scale oracle/baseline path only."""
+    the small-scale oracle/baseline path only. ``max_bucket`` is
+    honored here too (ADVICE r4): block membership (the whole corpus
+    when block_col=None) is capped to a deterministic subset before
+    the self-join — pass None for the lossless all-pairs baseline."""
     if method == "lsh":
         from el.similarity import lsh_buckets
 
@@ -619,6 +633,13 @@ def embedding_neardup_pairs(
     if block_col:
         sel.append(F.col(block_col).alias("_blk"))
     g = df.select(*sel)
+    if max_bucket is not None:
+        cap_key = "_blk" if block_col else "_one"
+        if not block_col:
+            g = g.withColumn("_one", F.lit(1))
+        g = cap_bucket_members(g, cap_key, "_id", max_bucket)
+        if not block_col:
+            g = g.drop("_one")
     a = g.select(
         *[F.col(c).alias(f"a{c}") for c in ("_id", "_v")],
         *([F.col("_blk")] if block_col else []),
@@ -758,7 +779,18 @@ def shared_span_pairs(
     explode to (fp, id) postings -> optional deterministic hot-bucket
     cap (boilerplate fingerprints otherwise go quadratic on one
     reducer) -> fp equi-join with id_a < id_b -> pair-count groupBy.
-    Returns (id_a, id_b, n_shared)."""
+    Returns (id_a, id_b, n_shared).
+
+    Cap semantics (ADVICE r4): the cap removes POSTINGS, so beyond
+    dropping pairs that only met inside a capped bucket, it also
+    DEFLATES n_shared for surviving pairs whose other fingerprints sat
+    in capped buckets — a pair can fall below ``min_shared`` even
+    though both ids survive elsewhere. The cap therefore effectively
+    RAISES the min_shared bar in boilerplate-heavy corpora, biasing
+    toward precision (boilerplate fingerprints are exactly the ones
+    capped). Counting shared fps before capping would require the
+    uncapped quadratic join the cap exists to avoid; callers needing
+    exact n_shared at small scale pass max_bucket=None."""
     from el.textops import winnow_fingerprints
 
     fps = winnow_fingerprints(

@@ -731,6 +731,7 @@ def dd4_ngram_jaccard(spark, sf_dir):
         threshold=0.5,
         method="exact",
         block_col="lang",
+        max_bucket=None,  # oracle regime: the uncapped all-pairs truth
     )
 
 
@@ -816,6 +817,7 @@ def dd5_embedding_neardup(spark, sf_dir):
         threshold=0.35,
         method="exact",
         block_col="label",
+        max_bucket=None,  # oracle regime: the uncapped all-pairs truth
     )
 
 
@@ -1662,6 +1664,7 @@ def dd7_neardup_doc_clusters(spark, sf_dir):
         n=2,
         threshold=0.5,
         method="exact",
+        max_bucket=None,  # oracle regime: the uncapped all-pairs truth
     )
 
 
@@ -1804,7 +1807,8 @@ def er2_clustering_agreement(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     a = docs.select("doc_id", F.col("source").alias("cluster_id"))
     nd = neardup_doc_clusters(
-        docs, block_col="lang", n=2, threshold=0.5, method="exact"
+        docs, block_col="lang", n=2, threshold=0.5, method="exact",
+        max_bucket=None,  # oracle regime: the uncapped all-pairs truth
     )
     b = docs.select("doc_id").join(nd, on="doc_id", how="left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
@@ -1886,7 +1890,8 @@ def dd8_dedup_survivors(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     clusters = neardup_doc_clusters(
-        docs, block_col="lang", n=2, threshold=0.5, method="exact"
+        docs, block_col="lang", n=2, threshold=0.5, method="exact",
+        max_bucket=None,  # oracle regime: the uncapped all-pairs truth
     )
     quality = quality_score(docs.select("doc_id", "text")).select(
         "doc_id", "quality"
@@ -2471,16 +2476,18 @@ def s7_warc_roundtrip(spark, sf_dir):
 # in registration order).  More than 50 checks carry DuckDB oracles, so
 # which 50 get driver CORRECTNESS rows is an explicit, curated decision —
 # WINDOW below — not an accident of registration order.  Curation rules:
-# every SURVEY §2 operator's oracle stays in the window; headline
-# training-data ops (connected components, near-dup clustering,
-# survivorship, clustering agreement, record linkage, hash split) get
-# slots ahead of same-operator variants (a4b/a6b/w6) and TPC-H-style
-# composites (x3/x5/x10), which remain registered and are verified by
-# the identical DuckDB comparison in tests/test_oracle_queries.py.
-# tests/test_registry_window.py asserts the invariants (50 names, all
-# registered, all oracled, §2 core set present) so adding a check can
-# never silently evict another from the graded window.
-WINDOW = [
+# every SURVEY §2 operator's oracle ALWAYS holds a window slot (the
+# WINDOW_CORE set below, pinned by tests/test_registry_window.py); the
+# remaining ~15 slots ROTATE each round (VERDICT r4 #2) so that every
+# oracled check eventually earns a driver CORRECTNESS row — checks
+# rotated out stay registered and are verified every pytest run by the
+# identical DuckDB comparison in tests/test_oracle_queries.py, and
+# WINDOW_HISTORY.md (generated by jobs/window_history.py) records which
+# round each check last held a slot.  Same-operator variants (a4b/a6b/
+# w6) and TPC-H-style composites (x3/x5/x10) stay outside.
+#
+# §2-core slots — never rotated (35 names):
+WINDOW_CORE = [
     # §2.2 projections / filters
     "p1_project_revenue",
     "p2_filter_orders",
@@ -2521,38 +2528,58 @@ WINDOW = [
     "f9_json_extract_events",
     "f10_events_per_day",
     "f11_math_clamps",
-    # training-data dedup family
-    "dd1_exact_dedup_docs",
-    "dd4_ngram_jaccard",
-    "dd4b_ngram_jaccard_minhash",
-    "dd5b_embedding_neardup_lsh",
-    "dd7_neardup_doc_clusters",
-    "dd8_dedup_survivors",
-    # similarity search
-    "ann1_cosine_topk",
-    # text analysis
-    "tx1_language_id",
-    "tx2_quality_score",
-    "tx3_token_stats",
-    "tx4_fingerprint_md5",
-    # streaming batch twins + stateful op
+    # §2.10 streaming batch twins
     "st2_tumbling_window_counts",
     "st3_session_window_counts",
-    "st6_user_event_stats",
-    # ER metrics / linkage / dataset ops
-    "er2_clustering_agreement",
-    "lk1_link_part_names",
-    "ds1_hash_split",
 ]
+# Rotating slots, round 5: the 14 oracled checks that had never held a
+# driver row (VERDICT r4 #2 promotion list) + er1 (also never-rowed —
+# surfaced by WINDOW_HISTORY; it takes the 15th slot over an lk1
+# holdover because lk1 already has its r4 green row).  Rotated OUT
+# this round — all with green driver rows r1-r4: dd1, dd4, dd4b, dd5b,
+# dd7, dd8, ann1, tx1-tx4, st6, er2, lk1, ds1.  ds2_pack_sequences is
+# the one oracled check left without a driver row (15 slots, 16
+# never-rowed candidates); it is verified by the identical DuckDB
+# comparison every pytest run (tests/test_oracle_queries.py).
+WINDOW_R5 = [
+    "er1_blocking_reduction",
+    # crawl-hygiene / text-analysis family
+    "tx6_url_canonicalize",
+    "tx7_repetition_stats",
+    "tx8_pii_scrub",
+    "tx10_nfc_normalize",
+    # dedup family (small-scale exact baselines + chunk-level)
+    "dd5_embedding_neardup",
+    "dd6_chunk_exact_dedup",
+    # dataset ops
+    "ds3_stratified_sample",
+    "ds4_budget_select",
+    # ER metrics / diagnostics
+    "er3b_pr_curve",
+    "er5_bcubed",
+    "diag1_key_skew_orders",
+    # join pruning
+    "j9_bloom_semi_orders",
+    # r4-new first-class ops
+    "dc1_benchmark_contamination",
+    "lm1_bigram_rarity",
+]
+WINDOW = [*WINDOW_CORE, *WINDOW_R5]
 
 
 def _order_registry(reg: dict[str, Check]) -> dict[str, Check]:
-    assert len(WINDOW) == 50, f"WINDOW has {len(WINDOW)} entries, need 50"
-    assert len(set(WINDOW)) == 50, "WINDOW has duplicates"
+    # explicit raises, not asserts: these invariants guard the graded
+    # window and must hold under `python -O` too (ADVICE r4)
+    if len(WINDOW) != 50:
+        raise ValueError(f"WINDOW has {len(WINDOW)} entries, need 50")
+    if len(set(WINDOW)) != 50:
+        raise ValueError("WINDOW has duplicates")
     missing = [n for n in WINDOW if n not in reg]
-    assert not missing, f"WINDOW names not registered: {missing}"
+    if missing:
+        raise ValueError(f"WINDOW names not registered: {missing}")
     unoracled = [n for n in WINDOW if reg[n].oracle is None]
-    assert not unoracled, f"WINDOW entries without an oracle: {unoracled}"
+    if unoracled:
+        raise ValueError(f"WINDOW entries without an oracle: {unoracled}")
     windowed = set(WINDOW)
     # outside the window: oracled checks first (pytest runs the same
     # DuckDB comparison on them), rows-only checks last; stable

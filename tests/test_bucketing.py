@@ -91,11 +91,31 @@ def test_bucket_lookup_prunes_to_one_bucket(spark, keys, tmp_path_factory):
         df = bucket_lookup(spark, "block_keys_1col", "block_key", some_key)
         plan = _formatted(df)
         assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan, plan
+        # the pruned-scan assertion helper agrees (ADVICE r4)
+        from el.bucketing import assert_single_bucket_scan
+
+        assert_single_bucket_scan(df)
         # and the lookup still returns the right rows
         n = df.count()
     assert n == keys.where(F.col("block_key") == F.lit(some_key)).count() > 0
     # ADVICE r3: the scope restores the planner flag — no session leak
     assert spark.conf.get(_AUTO_BUCKETED_SCAN) == prev
+    # ADVICE r4: outside the scope the lookup warns about lost pruning
+    # and the helper rejects the unpruned plan
+    import warnings
+
+    import pytest
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        df_out = bucket_lookup(
+            spark, "block_keys_1col", "block_key", some_key
+        )
+        assert any("bucket_lookup_scope" in str(w.message) for w in caught)
+    with pytest.raises(AssertionError):
+        from el.bucketing import assert_single_bucket_scan
+
+        assert_single_bucket_scan(df_out)
 
 
 def test_bucketed_scan_is_deterministic_input(spark, keys, bucketed):

@@ -311,6 +311,61 @@ def test_max_bucket_parity_when_cap_not_binding(spark, docs):
     assert e_cap == e_base
 
 
+def test_exact_method_honors_max_bucket(spark):
+    """ADVICE r4 (medium): method="exact" used to accept max_bucket and
+    silently ignore it — the block self-join stayed unbounded. Both
+    exact branches now cap block membership to a deterministic subset
+    before the self-join, so the quadratic is bounded at K(K-1)/2."""
+    rows = [(i, "alpha beta gamma delta shared page text body")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold=0.9, method="exact", max_bucket=None
+        ).collect()
+    }
+    assert len(full) == 20 * 19 // 2
+    capped = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold=0.9, method="exact", max_bucket=5
+        ).collect()
+    }
+    assert len(capped) == 5 * 4 // 2 and capped <= full
+    # deterministic keep rule: a second run returns the same subset
+    capped2 = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold=0.9, method="exact", max_bucket=5
+        ).collect()
+    }
+    assert capped2 == capped
+    # embedding exact path: same contract, block_col=None (one bucket)
+    vec = [1.0] * 8
+    erows = [(i, vec) for i in range(12)]
+    emb = spark.createDataFrame(erows, "vec_id long, embedding array<double>")
+    e_full = embedding_neardup_pairs(
+        emb, vec_col="embedding", id_col="vec_id", threshold=0.9,
+        method="exact", dim=8, max_bucket=None,
+    ).count()
+    assert e_full == 12 * 11 // 2
+    e_cap = embedding_neardup_pairs(
+        emb, vec_col="embedding", id_col="vec_id", threshold=0.9,
+        method="exact", dim=8, max_bucket=4,
+    ).count()
+    assert e_cap == 4 * 3 // 2
+    # blocked exact path: cap applies PER block
+    brows = [(i, "x " + "shared body words here " * 3, "en" if i < 10 else "fr")
+             for i in range(20)]
+    bdf = spark.createDataFrame(brows, "doc_id long, text string, lang string")
+    b_cap = ngram_jaccard_pairs(
+        bdf, n=2, threshold=0.9, method="exact", block_col="lang",
+        max_bucket=3,
+    ).count()
+    assert b_cap == 2 * 3  # 3 kept per block -> 3 pairs per block
+
+
 def test_max_bucket_bounds_hot_bucket(spark):
     """A degenerate corpus (150 identical docs) is exactly the 100 TB
     hazard: every band bucket holds all 150 members and the self-join

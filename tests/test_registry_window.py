@@ -1,66 +1,37 @@
 """The driver grades only the first 50 registry entries. WINDOW makes
 that subset an explicit curated decision (VERDICT r3 #1/#7, ADVICE r3);
 these invariants ensure a new check can never silently evict another
-from the graded window, and that the documented counts cannot drift."""
+from the graded window, and that the documented counts cannot drift.
+
+Since r5 the window has two tiers (VERDICT r4 #2): WINDOW_CORE — every
+SURVEY §2 operator's oracle, never rotated — and a rotating tail that
+cycles so every oracled check eventually earns a driver CORRECTNESS
+row. Checks rotated out are still verified by the identical DuckDB
+comparison in tests/test_oracle_queries.py every pytest run."""
 
 from __future__ import annotations
 
-from el.queries import REGISTRY, WINDOW
+from el.queries import REGISTRY, WINDOW, WINDOW_CORE, WINDOW_R5
 
-# §2 operators whose oracled check must always hold a driver slot, plus
-# the headline training-data ops the r3 verdict promoted.
-CORE = {
-    # projections / filters
-    "p1_project_revenue",
-    "p2_filter_orders",
-    "p3_lang_gate",
-    "p4_latest_event_per_user",
-    # joins J1-J8
-    "j1_selfjoin_docs_lang",
-    "j2_salted_join",
-    "j3_broadcast_nation_counts",
-    "j4_semi_customers_with_orders",
-    "j5_anti_customers_without_orders",
-    "j6_range_join_parts",
-    "j7_connected_components",
-    "j8_asof_latest_event",
-    # aggregations / windows / sorts / set ops
-    "a1_pricing_summary",
-    "a2_distinct_custkeys",
-    "a4_grouped_vector_centroid",
-    "a5_first_order_per_customer",
-    "a6_rollup_lineitem",
-    "w1_per_block_cap",
-    "w2_topk_orders_per_customer",
-    "w4_running_event_sum",
-    "w5_price_median",
-    "o1_sorted_nations",
-    "o2_global_topk_orders",
-    "u1_union_distinct_langs",
-    "u2_intersect_keys",
-    "u3_except_keys",
-    # scalar fns
-    "f1_normalize_names",
-    "f2_tokenize_stats",
-    "f4_levenshtein_parts",
-    "f5_jaro_winkler_parts",
-    "f9_json_extract_events",
-    "f10_events_per_day",
-    "f11_math_clamps",
-    # headline training-data ops (r3 verdict promotions)
-    "dd1_exact_dedup_docs",
-    "dd4b_ngram_jaccard_minhash",
-    "dd5b_embedding_neardup_lsh",
-    "dd7_neardup_doc_clusters",
-    "dd8_dedup_survivors",
-    "ann1_cosine_topk",
-    "er2_clustering_agreement",
-    "lk1_link_part_names",
-    "ds1_hash_split",
-    # streaming batch twins
-    "st2_tumbling_window_counts",
-    "st3_session_window_counts",
-    "st6_user_event_stats",
+# The r4-verdict promotion list: oracled checks that had never held a
+# driver CORRECTNESS row before round 5. The verdict's done-criterion
+# is >= 10 of these green in CORRECTNESS_r05.
+NEVER_ROWED_PROMOTIONS = {
+    "er1_blocking_reduction",
+    "dc1_benchmark_contamination",
+    "lm1_bigram_rarity",
+    "er5_bcubed",
+    "ds3_stratified_sample",
+    "ds4_budget_select",
+    "tx6_url_canonicalize",
+    "tx7_repetition_stats",
+    "tx8_pii_scrub",
+    "tx10_nfc_normalize",
+    "j9_bloom_semi_orders",
+    "diag1_key_skew_orders",
+    "er3b_pr_curve",
+    "dd6_chunk_exact_dedup",
+    "dd5_embedding_neardup",
 }
 
 
@@ -75,8 +46,32 @@ def test_window_entries_all_carry_oracles():
 
 
 def test_core_operator_checks_hold_window_slots():
-    missing = CORE - set(WINDOW)
+    # the §2-core tier is pinned: rotation may only touch the tail
+    missing = set(WINDOW_CORE) - set(WINDOW)
     assert not missing, f"core checks evicted from the driver window: {missing}"
+    assert len(WINDOW_CORE) == 35
+    assert WINDOW[: len(WINDOW_CORE)] == WINDOW_CORE
+
+
+def test_r5_rotation_promotes_never_rowed_checks():
+    promoted = NEVER_ROWED_PROMOTIONS & set(WINDOW_R5)
+    assert len(promoted) >= 10, (
+        "r5 window must give driver rows to >=10 never-rowed checks, "
+        f"got {len(promoted)}"
+    )
+    # rotated-out checks must still be registered AND oracled (the
+    # pytest oracle keeps verifying them)
+    rotated_out = {
+        "dd1_exact_dedup_docs", "dd4_ngram_jaccard",
+        "dd4b_ngram_jaccard_minhash", "dd5b_embedding_neardup_lsh",
+        "dd7_neardup_doc_clusters", "dd8_dedup_survivors",
+        "ann1_cosine_topk", "tx1_language_id", "tx2_quality_score",
+        "tx3_token_stats", "tx4_fingerprint_md5", "st6_user_event_stats",
+        "er2_clustering_agreement", "lk1_link_part_names", "ds1_hash_split",
+    }
+    assert rotated_out.isdisjoint(WINDOW)
+    for n in rotated_out:
+        assert n in REGISTRY and REGISTRY[n].oracle is not None, n
 
 
 def test_oracled_checks_precede_rows_only_checks():
@@ -84,6 +79,22 @@ def test_oracled_checks_precede_rows_only_checks():
     # growth aligned with verifiable checks
     flags = [REGISTRY[n].oracle is None for n in REGISTRY]
     assert flags == sorted(flags[:50]) + sorted(flags[50:])
+
+
+def test_window_history_doc_is_fresh():
+    """WINDOW_HISTORY.md (VERDICT r4 #9) makes the rotation auditable;
+    it must match what jobs/window_history.py regenerates from the
+    committed CORRECTNESS artifacts + the current WINDOW."""
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "window_history", root / "jobs" / "window_history.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert (root / "WINDOW_HISTORY.md").read_text() == mod.build()
 
 
 def test_documented_counts_match_registry():
