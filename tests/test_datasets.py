@@ -189,3 +189,44 @@ def test_benchmark_contamination_crafted(spark):
     # scale shape: benchmark grams arrive by broadcast
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_benchmark_contamination_production_n13(spark):
+    """VERDICT r4 #6: the PRODUCTION default (n=13, threshold=1 — the
+    GPT-3-appendix spec) on realistic-length docs. A verbatim 13-gram
+    eval-question leak inside a ~190-token training doc is flagged; a
+    close PARAPHRASE of the same question (several words swapped, so
+    no 13 consecutive tokens survive) is not, and neither is clean
+    text. Defaults are exercised as defaults — no kwargs."""
+    from el.datasets import benchmark_contamination
+
+    question = (
+        "what is the capital city of the republic of france and when "
+        "was it founded by whom exactly"
+    )  # 18 tokens -> 6 distinct 13-grams
+    filler_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    filler_b = " ".join(f"delta{i} epsi{i} zeta{i}" for i in range(20))
+    paraphrase = (
+        "what is the main capital of the old republic of france and "
+        "when was it established by whom precisely"
+    )
+    bench = spark.createDataFrame(
+        [(900, question)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # verbatim leak buried mid-document
+            (1, f"{filler_a} {question} {filler_b}"),
+            # paraphrase: longest common token run < 13
+            (2, f"{filler_a} {paraphrase} {filler_b}"),
+            (3, f"{filler_a} {filler_b}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in benchmark_contamination(docs, bench).collect()}
+    # the leak carries all 6 benchmark 13-grams plus boundary grams
+    # mixing filler+question tokens (filler tokens are unique per
+    # position, so only the 6 pure-question grams can match)
+    assert got[1].contaminated and got[1].n_contaminated == 6
+    assert not got[2].contaminated and got[2].n_contaminated == 0
+    assert not got[3].contaminated and got[3].n_contaminated == 0

@@ -137,6 +137,53 @@ def test_hygiene_stage_gates(spark):
     assert {r.html for r in kept} == {b"h3", b"h4"}
 
 
+def test_hygiene_rarity_gate(spark, tmp_path):
+    """lm1 rarity gate in the hygiene stage (VERDICT r4 #10): off by
+    default (pass-through, bit-identical rows), tolerant threshold
+    keeps everything, and against a persisted fit a planted gibberish
+    page — whose bigrams the fit has never seen — is dropped while
+    fit-corpus boilerplate passes."""
+    import datetime as dt
+
+    from el.pipeline import PipelineConfig, hygiene_stage
+    from el.textops import BigramCountsModel
+
+    ts = dt.datetime(2026, 1, 1)
+    mk = lambda u, txt: (u, ts, b"h", txt, "en")  # noqa: E731
+    clean = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        mk("http://a.org/1", clean),
+        mk("http://a.org/2", clean),
+        mk("http://a.org/3", "zxqv wmfr ktjp blnd qqzz vvkk"),  # gibberish
+        mk("http://a.org/4", None),  # null text: gate must keep it
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    # default OFF: pass-through
+    assert hygiene_stage(pages, PipelineConfig()).count() == 4
+    # self-fit with a tolerant threshold: everything passes (the
+    # gibberish doc's bigrams are hapax -> rare_frac 1.0; 1.0 <= 1.0)
+    assert hygiene_stage(
+        pages, PipelineConfig(max_rare_bigram_frac=1.0)
+    ).count() == 4
+    # production path: persisted fit on a clean corpus; the gibberish
+    # page is 100% fit-unseen -> dropped, clean + null-text kept
+    fit = spark.createDataFrame(
+        [(i, clean) for i in range(5)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "lm1_fit")
+    BigramCountsModel.fit(fit).save(path)
+    kept = hygiene_stage(
+        pages,
+        PipelineConfig(max_rare_bigram_frac=0.5, bigram_counts_path=path),
+    )
+    assert {r.url for r in kept.collect()} == {
+        "http://a.org/1", "http://a.org/2", "http://a.org/4"
+    }
+
+
 def test_hygiene_stage_short_docs_survive_filters(spark):
     """0/1-token pages must not crash the inline gram expressions
     (slice length is clamped) and are kept by the dup-2gram filter
