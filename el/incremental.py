@@ -28,9 +28,10 @@ Mechanics (J4/J5 semi/anti-join ops from SURVEY.md §2.3):
    mentions_vec, scored pairs) each gain one ``<base>_delta_NNNN``
    table per absorbed batch and are read back merge-on-read
    (``_read_with_deltas``) — commit I/O scales with the delta. Only
-   block_keys (re-capped, bounded strings) and clusters (global CC
-   output) are rewritten; Iceberg row-level ops remove those two
-   rewrites when the jar is present. ``compact_deltas`` periodically
+   block_keys (the RAW uncapped key union since r5 — cap/salt is a
+   pair-generation-time policy, never a storage mutation) and
+   clusters (global CC output) are rewritten; Iceberg row-level ops
+   remove those two rewrites when the jar is present. ``compact_deltas`` periodically
    folds the accumulated deltas back into one well-sized base
    snapshot (Iceberg ``rewrite_data_files``), with the watermark
    committed atomically inside the base manifest so folded rows are
@@ -53,11 +54,18 @@ otherwise).
 
 Equivalence: with capping disabled (or cap never reached),
 ``incremental(A then B) == full(A ∪ B)`` exactly — asserted in
-tests/test_incremental.py. When a hot block is capped, the combined
-run may retain a different member subset than the two-step run; the
-incremental result is then a SUPERSET of the full run's pair set
-(already-scored pairs are never unscored), i.e. recall never
-regresses from incremental processing.
+tests/test_incremental.py. When a hot block's cap BINDS, the
+incremental result is a SUPERSET of the full run's pair set: since r5
+the committed block_keys are uncapped and a touched block is re-capped
+over its FULL membership, so the incremental pair universe contains
+every pair the batch run generates (the cap's keep order is a pure
+function of (block_key, mention_id)), plus historical verified pairs
+whose members later fell out of the cap — already-scored pairs are
+never unscored. Recall never regresses from incremental processing;
+before r5 this superset claim did NOT hold (the committed table was
+capped, so members dropped by a base run were lost to every later
+re-cap and batch pairs could be missed). Asserted under a binding cap
+in tests/test_incremental.py.
 """
 
 from __future__ import annotations
@@ -71,7 +79,12 @@ from pyspark.sql import DataFrame, SparkSession
 from el import blocking
 from el.catalog import HadoopParquetCatalog
 from el.clustering import clusters_of
-from el.pipeline import PipelineConfig, block_stage, mentions_stage
+from el.pipeline import (
+    PipelineConfig,
+    mentions_stage,
+    raw_block_keys,
+    skew_capped_keys,
+)
 from el.runner import RunConfig, _fit_or_load_models, _models_dir
 from el.scoring import matched_edges, score_pairs
 
@@ -384,25 +397,29 @@ def incremental_update(
     old_vec = _read_with_deltas(spark, catalog, "mentions_vec")
     all_vec = old_vec.unionByName(new_vec)
 
-    # 3. combined block keys, RE-CAPPED, restricted to touched blocks
-    new_keys, _ = block_stage(new_mentions, cfg, topic_buckets)
+    # 3. combined RAW block keys; the skew policy (cap/salt) applies at
+    # PAIR-GENERATION time over the touched blocks' FULL membership
+    # (r5): the committed table is uncapped, so a member dropped by an
+    # earlier run's cap is still here — re-capping the touched block
+    # yields exactly the capped member set a batch run over the whole
+    # corpus would pick (cap order is a pure function of (block_key,
+    # mention_id)), and the incremental pair universe is a SUPERSET of
+    # the batch one even when caps bind (append-only scoring keeps
+    # historical verified pairs; it never loses a batch pair).
+    new_keys = raw_block_keys(new_mentions, cfg, topic_buckets)
     new_keys = new_keys.localCheckpoint(eager=True)
-    combined_raw = old_keys.unionByName(new_keys)
-    if cfg.block_skew == "salt":
-        combined_keys, _ = blocking.salt_blocks(combined_raw, cfg.cap_k)
-    else:
-        combined_keys, _ = blocking.cap_blocks(combined_raw, cfg.cap_k)
-    combined_keys = combined_keys.localCheckpoint(eager=True)
-    # untouched blocks have the exact member set the committed run
-    # had (the re-cap retention order is a pure function of
-    # (block_key, mention_id)), so every pair they can generate is
-    # already in old_scored — the self-join input is the touched
-    # subset only, which scales with the delta, not the corpus
+    combined_raw = old_keys.unionByName(new_keys).localCheckpoint(eager=True)
+    # untouched blocks have the exact member set the committed run had,
+    # so every pair they can generate is already in old_scored — the
+    # self-join input is the touched subset only, which scales with
+    # the delta, not the corpus. Restricting to whole blocks commutes
+    # with the per-block skew policy (el.pipeline.skew_capped_keys).
     touched = new_keys.select("strategy", "block_key").distinct()
-    touched_keys = combined_keys.join(
+    touched_raw = combined_raw.join(
         touched, on=["strategy", "block_key"], how="left_semi"
-    ).localCheckpoint(eager=True)
-    all_pairs = blocking.candidate_pairs(touched_keys)
+    )
+    touched_keys, _ = skew_capped_keys(touched_raw, cfg)
+    all_pairs = blocking.candidate_pairs(touched_keys.localCheckpoint(eager=True))
 
     # 4. delta scoring only (anti-join on the scored pair ids)
     done = old_scored.select("a_id", "b_id")
@@ -422,10 +439,11 @@ def incremental_update(
     # 6. commit: APPEND-ONLY deltas for the corpus-sized tables
     # (mentions / mentions_vec / scored pairs — each batch writes only
     # its delta, so commit I/O scales with the delta, not the corpus);
-    # block_keys (bounded per-mention key strings, re-capped per
-    # batch) and clusters (global CC output — ids can change
-    # corpus-wide on any merge) are the two rewrites, both removable
-    # with Iceberg row-level replace / MOR when the jar is present.
+    # block_keys (the raw per-mention key strings — uncapped since r5,
+    # one row per (mention, key), linear in the corpus) and clusters
+    # (global CC output — ids can change corpus-wide on any merge) are
+    # the two rewrites, both removable with Iceberg row-level replace /
+    # MOR when the jar is present.
     # The batch MARKER is written last: until it lands, none of this
     # batch's deltas are visible and a rerun recomputes the batch.
     n_new = new_mentions.count()
@@ -443,7 +461,7 @@ def incremental_update(
         catalog.write(delta_scored, f"scored_pairs_delta_{batch:04d}",
                       run_id=rc.run_id, stage="scored_pairs")
         written.append("scored_pairs")
-    m_keys = catalog.write(combined_keys, "block_keys", run_id=rc.run_id,
+    m_keys = catalog.write(combined_raw, "block_keys", run_id=rc.run_id,
                            stage="block_keys", partition_by=["strategy"])
     m_clusters = catalog.write(clusters, "clusters", run_id=rc.run_id,
                                stage="clusters")

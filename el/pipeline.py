@@ -173,12 +173,20 @@ def mentions_stage(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return extract_mentions(extracted)
 
 
-def block_stage(
+def raw_block_keys(
     mentions: DataFrame, cfg: PipelineConfig, topic_buckets: DataFrame | None = None
-) -> tuple[DataFrame, DataFrame]:
-    """Multi-key blocking: union of strategy key tables -> cap.
-
-    Returns (capped block_keys, block stats)."""
+) -> DataFrame:
+    """UNCAPPED multi-key union of the blocking strategies. Since r5
+    this is what the checkpointed runner COMMITS as the block_keys
+    table: the skew policy (W1 cap / J2 salt) is a PAIR-GENERATION-
+    time policy (``skew_capped_keys``), not a storage mutation — a
+    member dropped by one run's cap is never permanently discarded, so
+    an incremental absorb that touches the block re-caps over the FULL
+    membership and generates exactly the capped pair universe a batch
+    run over the whole corpus would (previously, base-capped members
+    were gone forever and incremental could MISS batch pairs when the
+    cap binds). Table size stays one row per (mention, key) — linear
+    in the corpus, the same scale as mentions itself."""
     keys = blocking.name_token_keys(mentions)
     if cfg.use_soundex:
         keys = keys.unionByName(blocking.soundex_keys(mentions))
@@ -195,9 +203,32 @@ def block_stage(
         )
     if topic_buckets is not None:
         keys = keys.unionByName(topic_buckets)
+    return keys
+
+
+def skew_capped_keys(
+    keys: DataFrame, cfg: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Apply the configured skew policy to a raw key table: "cap"
+    drops members beyond cap_k per block (deterministic hash-order
+    keep, observable in stats); "salt" splits hot blocks into salted
+    sub-blocks (no drops). Returns (keys, stats). Because both
+    policies operate strictly WITHIN a block, applying them to any
+    whole-block subset of a key table equals restricting the policy's
+    output to those blocks — the commuting property the incremental
+    touched-blocks path relies on."""
     if cfg.block_skew == "salt":
         return blocking.salt_blocks(keys, cfg.cap_k)
     return blocking.cap_blocks(keys, cfg.cap_k)
+
+
+def block_stage(
+    mentions: DataFrame, cfg: PipelineConfig, topic_buckets: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Multi-key blocking: union of strategy key tables -> skew policy.
+
+    Returns (capped/salted block_keys, block stats)."""
+    return skew_capped_keys(raw_block_keys(mentions, cfg, topic_buckets), cfg)
 
 
 def run_pipeline(

@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from el import blocking
 from el.catalog import HadoopParquetCatalog
 from el.clustering import clusters_of
-from el.pipeline import PipelineConfig, block_stage, mentions_stage
+from el.pipeline import (
+    PipelineConfig,
+    mentions_stage,
+    raw_block_keys,
+    skew_capped_keys,
+)
 from el.scoring import matched_edges, score_pairs
 from el.tfidf import TfidfModel
 
@@ -133,13 +138,19 @@ def run_checkpointed(
         topic_buckets = topics.bucket_keys(mentions_v)
     mentions_v = stage("mentions_vec", lambda: mentions_v)
 
+    # the COMMITTED block_keys table is the raw (uncapped) key union —
+    # cap/salt is applied at pair-generation time (r5: a cap must be a
+    # query-time policy, not a storage mutation, or members dropped by
+    # one run's cap are lost to every later incremental re-cap; see
+    # el.pipeline.raw_block_keys)
     block_keys = stage(
         "block_keys",
-        lambda: block_stage(mentions, cfg, topic_buckets)[0],
+        lambda: raw_block_keys(mentions, cfg, topic_buckets),
         partition_by=["strategy"],
     )
     pairs = stage(
-        "candidate_pairs", lambda: blocking.candidate_pairs(block_keys)
+        "candidate_pairs",
+        lambda: blocking.candidate_pairs(skew_capped_keys(block_keys, cfg)[0]),
     )
 
     # -- chunked scoring (mid-stage resumability) ------------------------

@@ -180,10 +180,16 @@ def test_ingest_anti_join_never_shuffles_the_corpus(spark):
 
 
 def test_incremental_recaps_hot_blocks(spark, tmp_path_factory):
-    """Absorbed batches must not grow a hot block past cap_k (ADVICE
-    r1: the union of capped old keys + capped delta keys was never
-    re-capped, so block size grew unboundedly across batches)."""
+    """The cap stays a PAIR-GENERATION bound across absorbs (ADVICE r1
+    flagged the original unbounded-growth bug; r5 moved the bound from
+    the committed table to the pair-gen path): the committed block_keys
+    table retains FULL membership (the r5 recall property — a member
+    dropped by one run's cap must stay recoverable), while the
+    pair-generation input re-capped from it never exceeds cap_k per
+    block, so no absorb's self-join can go quadratic."""
     from pyspark.sql import functions as F2
+
+    from el.pipeline import skew_capped_keys
 
     cap_rc = RunConfig(
         run_id="cap",
@@ -195,13 +201,109 @@ def test_incremental_recaps_hot_blocks(spark, tmp_path_factory):
     cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("cap")))
     run_checkpointed(spark, all_pages.where(split), cat, cap_rc, resume=False)
     incremental_update(spark, all_pages.where(~split), cat, cap_rc)
-    sizes = (
-        cat.read(spark, "block_keys")
-        .groupBy("strategy", "block_key")
-        .agg(F2.count("*").alias("n"))
+    committed = cat.read(spark, "block_keys")
+    sizes = committed.groupBy("strategy", "block_key").agg(
+        F2.count("*").alias("n")
     )
-    worst = sizes.agg(F2.max("n")).collect()[0][0]
-    assert worst <= cap_rc.pipeline.cap_k, f"hot block grew to {worst}"
+    worst_raw = sizes.agg(F2.max("n")).collect()[0][0]
+    # full membership is committed: with cap_k=8 on this corpus the
+    # hottest block MUST exceed the cap in storage...
+    assert worst_raw > cap_rc.pipeline.cap_k, (
+        f"committed table looks capped (max block {worst_raw}) — the "
+        "r5 recall property (raw keys committed) is gone"
+    )
+    # ...while the pair-generation input derived from it is bounded
+    capped, _ = skew_capped_keys(committed, cap_rc.pipeline)
+    worst = (
+        capped.groupBy("strategy", "block_key")
+        .agg(F2.count("*").alias("n"))
+        .agg(F2.max("n"))
+        .collect()[0][0]
+    )
+    assert worst <= cap_rc.pipeline.cap_k, f"pair-gen block grew to {worst}"
+
+
+def test_incremental_superset_of_batch_under_binding_cap(
+    spark, tmp_path_factory
+):
+    """r5 equivalence guarantee when the cap BINDS: the incremental
+    pair set must CONTAIN every pair the batch run generates — the
+    committed raw keys let a touched block re-cap over its full
+    membership, picking exactly the batch run's capped member set.
+    (Before r5 the committed table was capped, so members dropped by
+    the base run were lost to later re-caps and batch pairs went
+    missing; this test fails on that design.) Matched batch pairs must
+    also land in one incremental cluster each."""
+    import os
+
+    from el.incremental import _delta_names
+    from el.scoring import matched_edges
+
+    cap_rc = RunConfig(
+        run_id="cap2",
+        n_score_chunks=2,
+        pipeline=PipelineConfig(use_lsh=False, use_topics=False, cap_k=8),
+    )
+    all_pages = gen_web_pages(spark, 240).localCheckpoint()
+    split = F.pmod(F.xxhash64("url"), F.lit(2)) < 1
+
+    inc_cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("inc_sup")))
+    run_checkpointed(spark, all_pages.where(split), inc_cat, cap_rc,
+                     resume=False)
+    out = incremental_update(spark, all_pages.where(~split), inc_cat, cap_rc)
+
+    full_cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("full_sup")))
+    rc_full = RunConfig(
+        run_id="capfull", n_score_chunks=2, pipeline=cap_rc.pipeline,
+        model_dir=os.path.join(inc_cat.root, "_models", "cap2"),
+    )
+    full = run_checkpointed(spark, all_pages, full_cat, rc_full, resume=False)
+
+    def scored_of(cat):
+        dfs = [
+            cat.read(spark, d)
+            for d in sorted(os.listdir(cat.root))
+            if d.startswith("scored_chunk_") and ".__" not in d
+            and cat.exists(d)
+        ]
+        for d in _delta_names(cat, "scored_pairs"):
+            dfs.append(cat.read(spark, d))
+        df = dfs[0]
+        for x in dfs[1:]:
+            df = df.unionByName(x)
+        return df
+
+    inc_pairs = {
+        (r.a_id, r.b_id)
+        for r in scored_of(inc_cat).select("a_id", "b_id").collect()
+    }
+    batch_pairs = {
+        (r.a_id, r.b_id)
+        for r in full["scored_pairs"].select("a_id", "b_id").collect()
+    }
+    # the cap must actually bind for this test to mean anything
+    raw_sizes = (
+        inc_cat.read(spark, "block_keys")
+        .groupBy("strategy", "block_key").count()
+    )
+    assert raw_sizes.where(F.col("count") > 8).count() > 0
+    missing = batch_pairs - inc_pairs
+    assert not missing, (
+        f"incremental lost {len(missing)} batch pairs under a binding "
+        f"cap (e.g. {sorted(missing)[:5]})"
+    )
+    # matched batch pairs are merged in the incremental clustering
+    cl = {
+        r.mention_id: r.cluster_id
+        for r in out["clusters"].select("mention_id", "cluster_id").collect()
+    }
+    batch_edges = [
+        (r.src, r.dst)
+        for r in matched_edges(full["scored_pairs"]).collect()
+    ]
+    assert batch_edges
+    for s, d in batch_edges:
+        assert cl[s] == cl[d], f"batch match ({s},{d}) split across clusters"
 
 
 def test_incremental_crash_between_delta_writes_heals(
