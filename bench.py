@@ -379,6 +379,12 @@ def main() -> None:
     named = [(n, REGISTRY[n].fn)
              for n in HEADLINE + [q for q in HEADLINE_OPTIONAL if q in REGISTRY]]
     named += list(EXTRA.items())
+    # iteration aid: SPARK_GRAFT_BENCH_ONLY=comma,separated,names runs a
+    # subset of the operator entries (and skips the pipeline stages)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {x.strip() for x in only.split(",") if x.strip()}
+        named = [(n, f) for n, f in named if n in keep]
     for name, fn in named:
         best = float("inf")
         for _ in range(reps):
@@ -387,7 +393,10 @@ def main() -> None:
             best = min(best, time.time() - t)
         queries[name] = round(best, 3)
 
-    pipe_times, pipe_info = bench_pipeline(spark, sf)
+    if only:
+        pipe_times, pipe_info = {}, {"skipped": True}
+    else:
+        pipe_times, pipe_info = bench_pipeline(spark, sf)
     queries.update(pipe_times)
 
     # bench_total = sum of reported entries (min-of-reps per query +

@@ -304,6 +304,35 @@ def _next_batch(catalog: HadoopParquetCatalog) -> int:
     return (markers[-1]["batch"] + 1) if markers else 0
 
 
+def _scored_pair_tables(
+    spark: SparkSession, catalog: HadoopParquetCatalog
+) -> tuple[list[str], DataFrame]:
+    """(table names, unioned DataFrame) of every committed scored-pair
+    table: the compacted base (or the chunked runner's scored_chunk_*)
+    plus marker-covered scored_pairs deltas. The union is lazy — no
+    corpus-sized action here."""
+    scored_tables: list[str] = []
+    if catalog.exists("scored_pairs_all"):
+        scored_tables.append("scored_pairs_all")
+        old_scored = catalog.read(spark, "scored_pairs_all")
+    else:  # chunked runner pass: union the chunks
+        chunks = sorted(
+            d
+            for d in os.listdir(catalog.root)
+            if d.startswith("scored_chunk_")
+            and ".__" not in d  # not an in-flight/set-aside dir
+            and catalog.exists(d)
+        )
+        scored_tables.extend(chunks)
+        old_scored = spark.read.parquet(
+            *[os.path.join(catalog.root, d) for d in chunks]
+        )
+    for d in _delta_names(catalog, "scored_pairs"):
+        scored_tables.append(d)
+        old_scored = old_scored.unionByName(catalog.read(spark, d))
+    return scored_tables, old_scored
+
+
 def incremental_update(
     spark: SparkSession,
     new_pages: DataFrame,
@@ -336,25 +365,7 @@ def incremental_update(
         )
         .localCheckpoint(eager=True)
     )
-    scored_tables: list[str] = []
-    if catalog.exists("scored_pairs_all"):
-        scored_tables.append("scored_pairs_all")
-        old_scored = catalog.read(spark, "scored_pairs_all")
-    else:  # chunked runner pass: union the chunks
-        chunks = sorted(
-            d
-            for d in os.listdir(catalog.root)
-            if d.startswith("scored_chunk_")
-            and ".__" not in d  # not an in-flight/set-aside dir
-            and catalog.exists(d)
-        )
-        scored_tables.extend(chunks)
-        old_scored = spark.read.parquet(
-            *[os.path.join(catalog.root, d) for d in chunks]
-        )
-    for d in _delta_names(catalog, "scored_pairs"):
-        scored_tables.append(d)
-        old_scored = old_scored.unionByName(catalog.read(spark, d))
+    scored_tables, old_scored = _scored_pair_tables(spark, catalog)
     # committed-pair total from MANIFESTS — no corpus-sized count()
     # job per absorb (VERDICT r2 #7)
     old_pairs_rows = sum(_manifest_rows(catalog, t) for t in scored_tables)

@@ -7,14 +7,18 @@ fixture scale (360 pages). This job runs the identical composition at
 bench scale (default 96,000 pages) and puts THROUGHPUT numbers on the
 incremental path — the headline production story: a day of crawl
 hours lands as WARC, each hour is absorbed incrementally, compaction
-folds the deltas, and the result must be bit-identical to the
-single-batch run over the whole day.
+folds the deltas, and the result must satisfy the r5 equivalence
+contract vs the single-batch run over the whole day: the incremental
+pair set CONTAINS every batch pair (hard gate, count 0 — the skew cap
+BINDS at this scale, so bit-identity is not the contract; see
+el/incremental.py module docstring) and the clusterings agree at
+ARI ~= 1.
 
 Prints ONE JSON line:
   {"pages": N, "hours": H, "warc_write_sec": ..., "base_sec": ...,
    "absorb": [{"pages":..,"wall_sec":..,"pages_per_sec":..}, ...],
    "absorb_pages_per_sec": ..., "compact_sec": ..., "batch_sec": ...,
-   "incremental_vs_batch_identical": true, ...}
+   "pair_superset_holds": true, "cluster_adjusted_rand": ..., ...}
 
 Usage:  python jobs/crawl_day_bench.py [--pages 96000] [--hours 3]
         (local[$SPARK_GRAFT_CPUS], workdir on tmpfs when roomy)
@@ -173,6 +177,30 @@ def main() -> None:
         out["batch_sec"] = round(time.time() - t, 2)
         out["batch_pages_per_sec"] = round(sum(batch_counts)
                                            / out["batch_sec"], 1)
+
+        # Equivalence at bench scale. At 96k pages the skew cap BINDS
+        # (hot LSH blocks run to ~13k members vs cap_k=64), so the r5
+        # contract is checked exactly as stated (el/incremental.py
+        # module docstring): the incremental pair set must CONTAIN
+        # every batch pair (hard gate, count must be 0 — this is what
+        # the r5 raw-keys redesign guarantees), and the clusterings
+        # must agree at ARI ~= 1 (incremental may keep extra verified
+        # pairs from members a later re-cap displaced, so bit-identity
+        # is only expected when the cap never binds; reported anyway).
+        from el.evaluate import clustering_agreement
+        from el.incremental import _scored_pair_tables
+
+        _, inc_scored = _scored_pair_tables(spark, cat)
+        _, full_scored = _scored_pair_tables(spark, full_cat)
+        missing = (
+            full_scored.select("a_id", "b_id")
+            .join(inc_scored.select("a_id", "b_id"),
+                  on=["a_id", "b_id"], how="left_anti")
+            .count()
+        )
+        out["batch_pairs_missing_from_incremental"] = missing
+        out["pair_superset_holds"] = missing == 0
+
         full_clusters = full["clusters"].select("mention_id", "cluster_id")
         diff = (
             inc_clusters.exceptAll(full_clusters).count()
@@ -180,6 +208,11 @@ def main() -> None:
         )
         out["incremental_vs_batch_identical"] = diff == 0
         out["cluster_row_diff"] = diff
+        agree = clustering_agreement(
+            inc_clusters, full_clusters, id_col="mention_id"
+        ).collect()[0]
+        out["cluster_rand_index"] = agree.ri
+        out["cluster_adjusted_rand"] = agree.ari
 
     out["load_avg_end"] = tuple(round(x, 2) for x in os.getloadavg())
     out["workdir_fs"] = "tmpfs" if work.startswith("/dev/shm") else "disk"

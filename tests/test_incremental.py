@@ -236,7 +236,7 @@ def test_incremental_superset_of_batch_under_binding_cap(
     also land in one incremental cluster each."""
     import os
 
-    from el.incremental import _delta_names
+    from el.incremental import _scored_pair_tables
     from el.scoring import matched_edges
 
     cap_rc = RunConfig(
@@ -259,23 +259,10 @@ def test_incremental_superset_of_batch_under_binding_cap(
     )
     full = run_checkpointed(spark, all_pages, full_cat, rc_full, resume=False)
 
-    def scored_of(cat):
-        dfs = [
-            cat.read(spark, d)
-            for d in sorted(os.listdir(cat.root))
-            if d.startswith("scored_chunk_") and ".__" not in d
-            and cat.exists(d)
-        ]
-        for d in _delta_names(cat, "scored_pairs"):
-            dfs.append(cat.read(spark, d))
-        df = dfs[0]
-        for x in dfs[1:]:
-            df = df.unionByName(x)
-        return df
-
     inc_pairs = {
         (r.a_id, r.b_id)
-        for r in scored_of(inc_cat).select("a_id", "b_id").collect()
+        for r in _scored_pair_tables(spark, inc_cat)[1]
+        .select("a_id", "b_id").collect()
     }
     batch_pairs = {
         (r.a_id, r.b_id)
