@@ -312,10 +312,13 @@ def main() -> None:
                     help="disable CPU pinning (r1's flawed protocol)")
     ap.add_argument("--dedup-docs", type=int, default=96_000,
                     help="corpus rows for the dd4b dedup-kernel sweep")
-    ap.add_argument("--mode", choices=["full", "kernel-dedup"],
+    ap.add_argument("--mode", choices=["full", "kernel-dedup", "kernel"],
                     default="full",
                     help="kernel-dedup: run ONLY the dd4b kernel sweep "
-                         "(one JSON line), skipping the pipeline runs")
+                         "(one JSON line), skipping the pipeline runs; "
+                         "kernel: run ONLY the scoring-kernel sweep, "
+                         "reusing --workdir/prep when present (re-measure "
+                         "a stalled level without repaying the e2e runs)")
     args = ap.parse_args()
 
     pin = not args.no_pin
@@ -359,6 +362,37 @@ def main() -> None:
             "workdir_fs": "tmpfs" if work.startswith("/dev/shm") else "disk",
             "dedup_kernel_scaling": kernel,
             "dedup_kernel_efficiency_Nto4N": eff,
+            "workdir": work,
+        }))
+        return
+
+    if args.mode == "kernel":
+        if not os.path.isdir(os.path.join(work, "prep", "candidate_pairs")):
+            zpath = make_zip(work)
+            submit(f"local[{args.large}]", zpath,
+                   os.path.join(work, "prep"), args.pages,
+                   os.path.join(work, "models"), args.score_chunks)
+        levels = [int(x) for x in args.kernel_levels.split(",") if x]
+        kernel = kernel_scaling(work, levels, args.kernel_reps, pin=pin)
+        eff = {}
+        for a in levels:
+            for b in levels:
+                if b == 4 * a:
+                    eff[f"{a}->{b}"] = round(
+                        kernel[b]["pairs_per_sec"]
+                        / (4.0 * kernel[a]["pairs_per_sec"]),
+                        3,
+                    )
+        print(json.dumps({
+            "kernel": "scoring (score_pairs, noop sink)",
+            "pages": args.pages,
+            "protocol": (
+                "cpu-pinned (taskset: core budget == parallelism)" if pin
+                else "unpinned"
+            ),
+            "workdir_fs": "tmpfs" if work.startswith("/dev/shm") else "disk",
+            "kernel_scaling": kernel,
+            "kernel_efficiency_Nto4N": eff,
             "workdir": work,
         }))
         return
