@@ -12,13 +12,24 @@ scaling protocol uses):
    scale where the UNCAPPED run, whose hot band buckets go quadratic,
    is still tractable in this sandbox):
      - dd4b (ngram_jaccard_pairs, minhash path, default S-curve config)
-     - dd5b (embedding_neardup_pairs, multi-probe LSH, production
-       threshold) over deterministic token-hash sign-projection
+     - dd5b (embedding_neardup_pairs, multi-probe LSH, near-dup
+       threshold 0.8) over deterministic token-hash sign-projection
        embeddings of the same corpus (near-dup texts -> cosine ~ 1)
    "truth" is the SAME blocked method with max_bucket=None, so the
    number isolates exactly what the cap changes (the blocked-vs-
    unblocked recall is pinned separately by the dd4b/dd5b oracles).
    Capped pairs are asserted to be a SUBSET of the truth pairs.
+
+   The raw page corpus has NO true token-Jaccard>=0.3 pairs between
+   distinct urls (measured — its hot LSH buckets are boilerplate-
+   shingle collisions, exactly the skew the cap exists to bound, not
+   true near-dups), so every 10th document is planted with a
+   deterministic near-dup VARIANT (distinct id, text + a 2-token
+   suffix, Jaccard ~= 0.98): the truth set is those planted pairs
+   plus anything else the uncapped run finds, and the measurement is
+   whether cap-1000 truncation of the hot boilerplate buckets loses
+   any TRUE pair (a pair is lost only if every one of its 16 band
+   buckets / 8 probed tables drops one side).
 
 2. drop accounting at ``--pages-stats`` (default 96,000, linear — no
    pair generation): bucket_load_stats over the exact keyed tables the
@@ -136,30 +147,46 @@ def main() -> None:
         "load_avg_start": tuple(round(x, 2) for x in os.getloadavg()),
     }
 
-    # dd5b production regime (bench.py _dd5b_prod), with n_planes
-    # scaled for the corpus size: 3 planes = 8 buckets/table is the
-    # sf0.1 (2k vectors) setting; at 24k-96k vectors a production
-    # deployment sizes the table count of buckets to the corpus
-    # (docstring of embedding_neardup_pairs), else EVERY bucket is hot
-    # and the measurement is of under-bucketing, not of the cap.
-    dd5b_conf = dict(threshold=0.4, method="lsh", n_planes=6,
+    # dd5b scale regime: n_planes sized for the corpus (3 planes = 8
+    # buckets/table is the sf0.1 / 2k-vector setting; at 24k-96k
+    # vectors every bucket would be "hot" and the measurement would be
+    # of under-bucketing, not of the cap), threshold 0.8 = the
+    # near-dup regime for sign-projection embeddings (template-twins
+    # sit ~0.4-0.6; planted variants ~0.99).
+    dd5b_conf = dict(threshold=0.8, method="lsh", n_planes=6,
                      n_tables=8, probe_bits=1)
 
-    def docs_of(n_pages):
+    def docs_of(n_pages, plant_variants=False):
         # one document per URL: the corpus contains recrawls (same url,
         # same text, later warc_ts) which would otherwise alias to the
         # same doc_id and double-enter every gram/vector table
         pages = gen_web_pages(spark, n_pages)
-        return (
+        docs = (
             pages.select(
                 F.xxhash64("url").alias("doc_id"), F.col("text")
             )
+            .where(F.length("text") > 0)
             .dropDuplicates(["doc_id"])
-            .localCheckpoint(eager=True)
         )
+        if plant_variants:
+            # deterministic near-dup twin for every 10th doc: fresh id,
+            # text + 2-token suffix => token-3-gram Jaccard ~0.98
+            variants = docs.where(
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10)) == 0
+            ).select(
+                F.xxhash64(F.col("doc_id").cast("string"), F.lit("v"))
+                .alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" variant "),
+                    F.pmod(F.xxhash64("doc_id"), F.lit(7)).cast("string"),
+                ).alias("text"),
+            )
+            docs = docs.unionByName(variants)
+        return docs.localCheckpoint(eager=True)
 
     # ---- 1. recall vs uncapped truth (quadratic side bounded) ----------
-    docs = docs_of(args.pages_recall)
+    docs = docs_of(args.pages_recall, plant_variants=True)
+    out["docs_recall"] = docs.count()
     emb = text_embeddings(docs).localCheckpoint(eager=True)
 
     for name, fn in (
@@ -190,7 +217,8 @@ def main() -> None:
         }
 
     # ---- 2. drop accounting at full bench scale (linear) ---------------
-    docs_big = docs_of(args.pages_stats)
+    docs_big = docs_of(args.pages_stats, plant_variants=True)
+    out["docs_stats"] = docs_big.count()
     keyed = lsh_band_keys(
         scatter_small(
             docs_big.select(
