@@ -572,6 +572,11 @@ def embedding_neardup_pairs(
     random hyperplane with p ~ 0.90; missing all 16 tables of 8
     planes happens with prob (1-p^8)^16 ~ 1e-4. Equality with the
     exact path on the test corpus is asserted in tests, not assumed.
+    Size ``n_planes`` to the corpus with
+    :func:`el.similarity.suggest_n_planes` (cap-recall policy,
+    BASELINE.md r5): under-bucketed LSH makes ``max_bucket`` do the
+    bucketing's job and recall pays (measured 0.849 at 6 planes vs
+    0.981 right-sized at 96k docs).
 
     method="exact": r1 semantics — all pairs within ``block_col``
     (or crossJoin when None). Quadratic within a block; retained as

@@ -66,6 +66,39 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
     return g
 
 
+def suggest_n_planes(
+    n_docs: int,
+    max_bucket: int = 1000,
+    target_frac: float = 0.5,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """Smallest ``n_planes`` whose EXPECTED per-table bucket load
+    (n_docs / 2^n_planes, uniform sign codes) is <= target_frac *
+    max_bucket — the cap-recall policy (BASELINE.md r5) codified:
+    the hot-bucket cap is a quadratic-blowup guardrail, not a
+    substitute for sizing single-code-per-table embedding LSH to the
+    corpus. Under-bucketed (mean load > cap) the cap does the
+    bucketing's job and recall pays: measured at 96k docs / cap 1000,
+    6 planes (mean 1500) -> recall 0.849, while this function's answer
+    (8 planes, mean 375) -> recall 0.981 at a 2.8x-cheaper wall than
+    uncapped. target_frac=0.5 leaves headroom for real-corpus skew
+    (the 96k hottest bucket ran ~8x the mean).
+
+    Each extra plane lowers per-table collision prob p^n_planes, so
+    when the suggestion grows past the default 8, compensate with
+    more ``n_tables`` or ``probe_bits=1`` (recall formula in
+    :func:`lsh_buckets`). Clamped to [min_planes, max_planes]; at
+    2^24 buckets per table the expected load of even 10^12 docs is
+    ~60k rows — re-split from there with more tables, not more planes,
+    or bucket self-joins lose all parallelism."""
+    if n_docs < 1:
+        raise ValueError("n_docs must be >= 1")
+    target = max(1.0, target_frac * max_bucket)
+    planes = int(np.ceil(np.log2(max(1.0, n_docs / target))))
+    return max(min_planes, min(max_planes, planes))
+
+
 def _bucket_udf(
     planes: np.ndarray,
     n_tables: int,

@@ -220,3 +220,28 @@ def test_sq_topk_all_ties_partition_invariant(spark):
             (r.rank, r.n_id) for r in sq_topk(src, q, k=10).collect()
         )
         assert got == [(r, r) for r in range(1, 11)], got
+
+
+def test_suggest_n_planes_policy():
+    """The cap-recall policy codified (BASELINE.md r5): the suggestion
+    must reproduce the measured right-sized config at the bench scale,
+    grow with the corpus, and respect the clamps."""
+    from el.similarity import suggest_n_planes
+
+    # the measured 96k-doc / cap-1000 case: 6 planes under-bucketed
+    # (recall 0.849), 8 planes right-sized (recall 0.981)
+    assert suggest_n_planes(96_000, max_bucket=1000) == 8
+    # monotone non-decreasing in corpus size
+    sizes = [1_000, 10_000, 100_000, 10**9, 10**12]
+    suggestions = [suggest_n_planes(n) for n in sizes]
+    assert suggestions == sorted(suggestions)
+    # tiny corpus clamps to min_planes; planet-scale clamps to max
+    assert suggest_n_planes(10) == 4
+    assert suggest_n_planes(10**12) == 24
+    # expected per-table load at the suggestion is within target
+    for n in sizes:
+        p = suggest_n_planes(n)
+        if 4 < p < 24:  # unclamped region only
+            assert n / 2**p <= 0.5 * 1000
+    with pytest.raises(ValueError):
+        suggest_n_planes(0)
