@@ -142,6 +142,64 @@ def stratified_sample(
     )
 
 
+def weighted_mixture(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted corpus mixing with epoching — the
+    GPT-3/Pile sampling-weights discipline (sources are repeated or
+    thinned so each contributes weight_s x |s| records in
+    expectation): a record from source s is emitted floor(w_s) whole
+    copies, plus one extra copy iff its hash bucket falls below the
+    fractional part of w_s. Every copy carries ``epoch`` (0-based
+    repeat index) so downstream ``pack_sequences`` can lay epochs out
+    as distinct passes instead of adjacent duplicates.
+
+    The per-record copy count is a pure function of (key, seed) —
+    no rand(), no RNG state — so the mixture is bit-stable under
+    corpus growth, re-runs, and partitioning, and a SQL oracle
+    reproduces it exactly (ds5). Sources absent from ``weights`` get
+    weight 0 and are dropped (explicit mixing only, the
+    stratified_sample contract). The hash is namespaced
+    ('mixw:' + seed) so the fractional-copy coin is independent of
+    hash_split / stratified_sample buckets on the same key.
+
+    Scale: pure projection + explode — zero shuffle, no join (the
+    weights table is a literal CASE expression, not a dimension
+    scan); upweighting multiplies rows at the scan, exactly where a
+    100 TB pipeline wants the fan-out (before any wide stage)."""
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    n = 10_000
+    copies = None
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for source {s!r}")
+        whole = int(w)
+        frac_thresh = int(round((w - whole) * n))
+        cnt = F.lit(whole) + (F.col("_bucket") < frac_thresh).cast("int")
+        cond = F.col(source_col) == s
+        copies = (
+            F.when(cond, cnt) if copies is None else copies.when(cond, cnt)
+        )
+    copies = copies.otherwise(F.lit(0))
+    epochs = F.when(
+        copies > 0,
+        F.sequence(F.lit(0).cast("long"), (copies - 1).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.withColumn(
+            "_bucket",
+            hash_bucket(F.col(key_col).cast("string"), "mixw:" + seed),
+        )
+        .select("*", F.explode(epochs).alias("epoch"))
+        .drop("_bucket")
+    )
+
+
 def budget_select(
     df: DataFrame,
     part_col: str,

@@ -113,6 +113,97 @@ def chunk_exact_dupes(
     )
 
 
+def strip_repeated_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    max_docs: int = 1,
+) -> DataFrame:
+    """C4-style boilerplate REMOVAL — the rewrite pass that
+    ``chunk_exact_dupes`` (dd6) only detects: cut each document's
+    tokens (shared spec) into non-overlapping ``k``-token chunks; a
+    chunk whose md5 occurs in more than ``max_docs`` DISTINCT
+    documents is corpus boilerplate and every occurrence of it is
+    removed from every document. The cleaned text is the surviving
+    chunks plus the (< k)-token tail, re-joined with single spaces
+    (the tokenized contract — byte identity is over tokens, not the
+    raw bytes, which normalization already rewrote).
+
+    A chunk repeated only WITHIN one document is NOT boilerplate
+    (``countDistinct`` ids, not occurrences) — intra-doc repetition
+    is tx7 ``repetition_stats``' job.
+
+    Returns ``(id, clean_text, n_chunks, n_removed)`` with one row
+    per non-null-text input document (fully-stripped docs keep their
+    row with the tail-only or empty string).
+
+    Scale: one explode to (pos, digest) postings; the boilerplate
+    digest set comes from a hash groupBy with map-side partial
+    aggregation (only 32-hex digests + ids shuffle, never text); the
+    removed-position lists ride a left join back onto the base scan
+    and the rebuild is pure JVM higher-order array ops (no second
+    text pass, no Python). Linear, no self-join."""
+    toks = tokens_of(F.col(text_col))
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.floor(F.size(toks) / F.lit(k)).cast("long").alias("n_chunks"),
+        )
+    )
+    chunk_md5s = F.when(
+        F.col("n_chunks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col("_toks"), i * k + 1, k))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    posts = base.select(
+        id_col, F.posexplode(chunk_md5s).alias("_pos", "chunk_md5")
+    )
+    bad = (
+        posts.groupBy("chunk_md5")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") > max_docs)
+        .select("chunk_md5")
+    )
+    removed = (
+        posts.join(bad, "chunk_md5", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("_pos").alias("_rm"))
+    )
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        F.when(
+            F.col("n_chunks") > 0,
+            F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")),
+        ).otherwise(F.array().cast("array<int>")),
+        lambda i: ~F.array_contains(rm, i),
+    )
+    clean_toks = F.concat(
+        F.flatten(
+            F.transform(
+                kept_idx, lambda i: F.slice(F.col("_toks"), i * k + 1, k)
+            )
+        ),
+        F.slice(
+            F.col("_toks"),
+            (F.col("n_chunks") * k + 1).cast("int"),
+            (F.size("_toks") - F.col("n_chunks").cast("int") * k),
+        ),
+    )
+    return base.join(removed, id_col, "left").select(
+        id_col,
+        F.array_join(clean_toks, " ").alias("clean_text"),
+        F.col("n_chunks"),
+        F.size(rm).cast("long").alias("n_removed"),
+    )
+
+
 # -- hot-bucket skew cap -------------------------------------------------
 
 

@@ -2223,6 +2223,93 @@ def lm1_bigram_rarity(spark, sf_dir):
 
 
 @check(
+    "dd10_strip_boilerplate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, {t} AS t FROM documents WHERE text IS NOT NULL
+    ), base AS (
+      SELECT doc_id, t, CAST(len(t) // 4 AS BIGINT) AS n_chunks FROM toks
+    ), posts AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(n_chunks AS INT))) AS pos,
+             unnest(list_transform(range(0, CAST(n_chunks AS INT)),
+                    i -> md5(array_to_string(t[i*4+1:i*4+4], ' ')))) AS m
+      FROM base
+    ), bad AS (
+      SELECT m FROM posts GROUP BY m HAVING count(DISTINCT doc_id) > 1
+    ), removed AS (
+      SELECT doc_id, list(pos) AS rp
+      FROM posts JOIN bad USING (m) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(array_to_string(list_concat(
+             flatten(list_transform(
+               list_filter(range(0, CAST(b.n_chunks AS INT)),
+                 i -> NOT list_contains(
+                        coalesce(r.rp, CAST([] AS BIGINT[])), i)),
+               i -> b.t[CAST(i*4+1 AS INT):CAST(i*4+4 AS INT)])),
+             b.t[CAST(b.n_chunks*4+1 AS INT):len(b.t)]), ' '), '')
+             AS clean_text,
+           b.n_chunks,
+           CAST(coalesce(len(r.rp), 0) AS BIGINT) AS n_removed
+    FROM base b LEFT JOIN removed r USING (doc_id)
+    """.format(t=_TOKS_SQL),
+)
+def dd10_strip_boilerplate(spark, sf_dir):
+    """C4-style boilerplate removal (el.dedup.strip_repeated_chunks):
+    4-token chunks occurring in more than one distinct document are
+    stripped from every document and the text rebuilt from surviving
+    tokens. DuckDB recomputes the full chunk/digest/blocklist/rebuild
+    chain independently; every output is a string or exact integer,
+    so the check is hash-exact with no float caveats. The planted
+    near-dup families in the documents fixture guarantee cross-doc
+    repeated chunks exist at every SF."""
+    from el.dedup import strip_repeated_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    return strip_repeated_chunks(d, k=4, max_docs=1)
+
+
+@check(
+    "ds5_weighted_mixture",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                  || 'mixw:mix1'), 1, 8) AS BIGINT) % 10000 AS bkt
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_chars,
+             CASE lang
+               WHEN 'en' THEN CASE WHEN bkt < 5000 THEN 1 ELSE 0 END
+               WHEN 'de' THEN 2
+               WHEN 'fr' THEN 1 + CASE WHEN bkt < 2500 THEN 1 ELSE 0 END
+               ELSE 0 END AS n_copies
+      FROM b)
+    SELECT doc_id, lang, n_chars,
+           CAST(unnest(range(0, n_copies)) AS BIGINT) AS epoch
+    FROM c WHERE n_copies > 0
+    """,
+)
+def ds5_weighted_mixture(spark, sf_dir):
+    """Weighted corpus mixing with epoching (el.datasets.
+    weighted_mixture): GPT-3/Pile-style sampling weights en 0.5 /
+    de 2.0 / fr 1.25 keyed on doc_id — de docs appear twice (epochs
+    0,1), en docs are hash-thinned to half, fr docs get a whole copy
+    plus a 25% fractional copy, other langs drop. The copy count is
+    a pure function of (doc_id, seed), bit-reproduced by the SQL
+    oracle; epoch is the repeat index."""
+    from el.datasets import weighted_mixture
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_mixture(
+        d, source_col="lang",
+        weights={"en": 0.5, "de": 2.0, "fr": 1.25},
+        key_col="doc_id", seed="mix1",
+    )
+
+
+@check(
     "diag1_key_skew_orders",
     oracle="""
     WITH c AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt

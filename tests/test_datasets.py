@@ -230,3 +230,64 @@ def test_benchmark_contamination_production_n13(spark):
     assert got[1].contaminated and got[1].n_contaminated == 6
     assert not got[2].contaminated and got[2].n_contaminated == 0
     assert not got[3].contaminated and got[3].n_contaminated == 0
+
+
+def test_weighted_mixture_copy_counts(spark):
+    """Whole weights repeat exactly; weight-0 sources (and sources
+    missing from the map) drop; epochs are 0-based repeat indices."""
+    from el.datasets import weighted_mixture
+
+    rows = [(i, "de" if i % 2 else "zh", 10) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = weighted_mixture(
+        df, source_col="lang", weights={"de": 3.0}, key_col="doc_id"
+    ).collect()
+    de_ids = [i for i in range(1, 41) if i % 2]
+    assert sorted(r.doc_id for r in out) == sorted(de_ids * 3)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert all(sorted(v) == [0, 1, 2] for v in by_doc.values())
+
+
+def test_weighted_mixture_fractional_deterministic_and_independent(spark):
+    """Fractional copies are a pure function of (key, seed): repeat
+    runs agree exactly; the kept set tracks the weight monotonically
+    (every 0.25-survivor also survives at 0.75); and the coin is
+    namespaced away from hash_split buckets."""
+    from el.datasets import hash_split, weighted_mixture
+
+    rows = [(i, "en", 5) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+    def kept(w, seed=""):
+        out = weighted_mixture(
+            df, "lang", {"en": w}, key_col="doc_id", seed=seed
+        )
+        return {r.doc_id for r in out.collect()}
+
+    k25 = kept(0.25)
+    assert kept(0.25) == k25  # bit-stable across runs
+    assert 150 < len(k25) < 350  # ~250 of 1000
+    assert k25 < kept(0.75)  # monotone in the weight
+    assert kept(0.25, seed="other") != k25  # seed moves the coin
+    # independence from hash_split: the 0.5-mixture survivors must not
+    # be (anti-)correlated with the 0.5/0.5 split on the same key
+    split = {
+        r.doc_id: r.split
+        for r in hash_split(df, "doc_id", {"a": 0.5, "b": 0.5}).collect()
+    }
+    in_a = sum(1 for d in kept(0.5) if split[d] == "a")
+    assert 0.35 < in_a / len(kept(0.5)) < 0.65
+
+
+def test_weighted_mixture_plan_is_exchange_free(spark):
+    from el.datasets import weighted_mixture
+
+    df = spark.createDataFrame(
+        [(1, "en", 5)], "doc_id long, lang string, n_chars long"
+    )
+    plan = weighted_mixture(
+        df, "lang", {"en": 1.5}, key_col="doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

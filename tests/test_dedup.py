@@ -617,3 +617,53 @@ def test_production_max_bucket_default_is_capped():
             sig.parameters["max_bucket"].default == dedup.DEFAULT_MAX_BUCKET
         ), fn.__name__
     assert dedup.DEFAULT_MAX_BUCKET is not None
+
+
+def test_strip_repeated_chunks_crafted(spark):
+    """The dd6 REWRITE pass: cross-doc repeated chunks vanish from
+    every document, intra-doc repeats and sub-chunk tails survive."""
+    from el.dedup import strip_repeated_chunks
+
+    rows = [
+        # doc 1: boilerplate chunk + unique chunk + 2-token tail
+        (1, "alpha beta gamma delta unique one two three tail tokens"),
+        # doc 2: same boilerplate chunk, different remainder
+        (2, "alpha beta gamma delta other words entirely here"),
+        # doc 3: intra-doc repeat of a chunk NOT shared across docs
+        (3, "solo mono duo trio solo mono duo trio"),
+        # doc 4: < k tokens, no chunks at all
+        (4, "tiny doc"),
+        # doc 5: all chunks boilerplate (exact dup of doc 2's chunks)
+        (5, "alpha beta gamma delta other words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in strip_repeated_chunks(df, k=4, max_docs=1).collect()
+    }
+    assert len(out) == 5  # fully-stripped docs keep their row
+    # doc 1: chunk 0 removed, chunk 1 + tail survive
+    assert out[1].clean_text == "unique one two three tail tokens"
+    assert out[1].n_chunks == 2 and out[1].n_removed == 1
+    # docs 2/5 are full exact dups: every chunk removed, empty text
+    assert out[2].clean_text == "" and out[2].n_removed == 2
+    assert out[5].clean_text == "" and out[5].n_removed == 2
+    # doc 3: intra-doc repetition is NOT boilerplate (distinct docs)
+    assert out[3].clean_text == "solo mono duo trio solo mono duo trio"
+    assert out[3].n_removed == 0
+    # doc 4: no chunks, text passes through (token-normalized)
+    assert out[4].clean_text == "tiny doc"
+    assert out[4].n_chunks == 0 and out[4].n_removed == 0
+
+
+def test_strip_repeated_chunks_max_docs_threshold(spark):
+    """max_docs raises the bar: a chunk in exactly max_docs docs is
+    kept, one more doc tips it into boilerplate."""
+    from el.dedup import strip_repeated_chunks
+
+    rows = [(i, "omega psi chi phi trailer") for i in (1, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_repeated_chunks(df, max_docs=2).collect()}
+    assert all(r.n_removed == 0 for r in out.values())
+    out = {r.doc_id: r for r in strip_repeated_chunks(df, max_docs=1).collect()}
+    assert all(r.clean_text == "trailer" for r in out.values())
