@@ -72,6 +72,13 @@ HEADLINE_OPTIONAL = [
     # r4: benchmark decontamination + corpus bigram-rarity quality
     "dc1_benchmark_contamination",
     "lm1_bigram_rarity",
+    # r5: boilerplate-strip rewrite + weighted corpus mixing + web-graph
+    # centrality (g1 is 10 fixed-size rounds: the wall is round
+    # orchestration, like j7 — the 100 TB cost model is per-round
+    # shuffle volume, not this toy graph)
+    "dd10_strip_boilerplate",
+    "ds5_weighted_mixture",
+    "g1_pagerank",
 ]
 
 

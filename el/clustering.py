@@ -107,3 +107,71 @@ def clusters_of(mentions: DataFrame, edges: DataFrame) -> DataFrame:
             F.coalesce("cluster_id", "mention_id").alias("cluster_id"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame, damping: float = 0.85, n_iter: int = 10
+) -> DataFrame:
+    """Directed-graph PageRank after exactly ``n_iter`` synchronous
+    power iterations from the uniform start — the web-graph authority
+    prior Common-Crawl-scale pipelines keep next to text-quality
+    gates (CCNet/RefinedWeb-style centrality signals at the url or
+    domain grain).
+
+    Semantics pinned for cross-engine exactness (the g1 oracle
+    recomputes every iteration independently in DuckDB):
+    - directed edges are deduplicated; nodes = distinct endpoints;
+    - per iteration: contribution = rank / out_degree (one IEEE
+      division), incoming mass summed via the decimal(28,12)
+      exact-sum trick (order-independent, so bit-identical across
+      engines AND partitionings), then
+      rank' = (1-d)/N + d * (incoming + dangling_mass/N);
+    - dangling nodes (no out-edges) redistribute their mass
+      uniformly; the mass is a 1-row exact-decimal aggregate per
+      round — the only driver participation, the j7 loop discipline.
+
+    Scale: each round is one equi-join on src + one groupBy on dst —
+    the same node-id shuffle pattern as the CC kernel — and
+    ``localCheckpoint(eager=True)`` per round cuts the lineage so the
+    plan stays round-sized. Returns (node, rank)."""
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = float(nodes.count())
+    outd = e.groupBy("src").agg(F.count("*").cast("double").alias("outd"))
+    ed = e.join(outd, "src").localCheckpoint(eager=True)
+    tele = (1.0 - damping) / n
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank"))
+    for _ in range(n_iter):
+        inc = (
+            ranks.join(ed, F.col("node") == F.col("src"))
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("outd")).cast("decimal(28,12)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        dm_row = (
+            ranks.join(outd, F.col("node") == F.col("src"), "left_anti")
+            .agg(F.sum(F.col("rank").cast("decimal(28,12)")).cast("double"))
+            .collect()[0][0]
+        )
+        dm = dm_row if dm_row is not None else 0.0
+        ranks = (
+            nodes.join(inc, nodes.node == inc.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(tele)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm) / F.lit(n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

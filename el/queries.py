@@ -1724,6 +1724,83 @@ def j7_connected_components(spark, sf_dir):
     )
 
 
+def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled-iteration DuckDB PageRank over the j7 graph, mirroring
+    el.clustering.pagerank operand-for-operand: repr() literals pin
+    the teleport/damping doubles bit-exactly (1.0-0.85 is NOT 0.15 in
+    IEEE), contributions round through DECIMAL(28,12) before summing
+    (order-independent), and the dangling-mass term is present even
+    though this graph has none (x + 0.0 is exact). Unrolled rather
+    than recursive because each step references the previous ranks
+    TWICE (incoming sums + dangling mass) — recursive CTEs allow one."""
+    tele, d = repr(1.0 - damping), repr(damping)
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT doc_id AS a, (doc_id * 7 + 3) % 500 AS b FROM documents
+      UNION
+      SELECT doc_id, (doc_id * doc_id + 1) % 500
+      FROM documents WHERE doc_id % 3 = 0
+    ), e AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e0 WHERE a <> b
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ), nn AS MATERIALIZED (
+      SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes
+    ), deg AS MATERIALIZED (
+      SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM e GROUP BY src
+    ), ed AS MATERIALIZED (
+      SELECT e.src, e.dst, g.outd FROM e JOIN deg g USING (src)
+    ), pr0 AS MATERIALIZED (
+      SELECT node, CAST(1 AS DOUBLE) / nn.nd AS r FROM nodes CROSS JOIN nn
+    )"""
+    step = """, pr{j} AS MATERIALIZED (
+      SELECT n.node,
+             CAST({tele} AS DOUBLE) / nn.nd
+               + CAST({d} AS DOUBLE)
+                 * (coalesce(inc.s, CAST(0 AS DOUBLE)) + dgl.m / nn.nd)
+               AS r
+      FROM nodes n CROSS JOIN nn
+      CROSS JOIN (
+        SELECT CAST(coalesce(sum(CAST(p.r AS DECIMAL(28,12))), 0)
+                    AS DOUBLE) AS m
+        FROM pr{i} p ANTI JOIN deg g ON g.src = p.node) dgl
+      LEFT JOIN (
+        SELECT t.dst AS node,
+               CAST(sum(CAST(p.r / t.outd AS DECIMAL(28,12)))
+                    AS DOUBLE) AS s
+        FROM pr{i} p JOIN ed t ON t.src = p.node GROUP BY t.dst) inc
+        ON inc.node = n.node
+    )"""
+    body = "".join(
+        step.format(i=i, j=i + 1, tele=tele, d=d) for i in range(n_iter)
+    )
+    return head + body + f"\n    SELECT node, r AS pr_rank FROM pr{n_iter}"
+
+
+@check("g1_pagerank", oracle=_pagerank_sql())
+def g1_pagerank(spark, sf_dir):
+    """Web-graph PageRank (el.clustering.pagerank) over the same
+    deterministic affine+quadratic graph as j7, 10 synchronous power
+    iterations at damping 0.85 — the Common-Crawl centrality prior
+    (CCNet/RefinedWeb keep a url/domain authority signal next to the
+    text-quality gates). DuckDB re-runs all 10 iterations unrolled;
+    every reduction is an exact decimal sum and every division is a
+    single mirrored IEEE op, so ranks are hash-exact bit-for-bit."""
+    from el.clustering import pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    e1 = d.select(did.alias("src"), ((did * 7 + 3) % 500).alias("dst"))
+    e2 = d.where(did % 3 == 0).select(
+        did.alias("src"), ((did * did + 1) % 500).alias("dst")
+    )
+    edges = e1.unionByName(e2).where(F.col("src") != F.col("dst"))
+    return pagerank(edges, damping=0.85, n_iter=10).select(
+        "node", F.col("rank").alias("pr_rank")
+    )
+
+
 @check(
     "er1_blocking_reduction",
     oracle="""

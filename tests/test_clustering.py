@@ -43,3 +43,59 @@ def test_clusters_of_singletons(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     got = {r["mention_id"]: r["cluster_id"] for r in clusters_of(mentions, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 3}
+
+
+def _numpy_pagerank(edges, damping=0.85, n_iter=10):
+    """Independent dense reference: synchronous power iteration with
+    uniform dangling redistribution (no decimal rounding — the Spark
+    op is compared within float tolerance, exactness is g1's job)."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for a, b in set(edges):
+        out.setdefault(a, []).append(b)
+    r = [1.0 / n] * n
+    for _ in range(n_iter):
+        nxt = [0.0] * n
+        dm = sum(r[idx[v]] for v in nodes if v not in out)
+        for a, dsts in out.items():
+            c = r[idx[a]] / len(dsts)
+            for b in dsts:
+                nxt[idx[b]] += c
+        r = [(1 - damping) / n + damping * (x + dm / n) for x in nxt]
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    """Crafted graph with a DANGLING node (3 has no out-edges): its
+    mass must be redistributed uniformly, not dropped — total rank
+    stays 1 and every node matches the dense reference."""
+    from el.clustering import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (4, 0), (4, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r["rank"] for r in pagerank(df).collect()}
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    # the dangling sink accumulates the most mass on this graph
+    assert max(got, key=got.get) == 3
+
+
+def test_pagerank_dedups_edges_and_is_partition_invariant(spark):
+    from el.clustering import pagerank
+
+    edges = [(0, 1), (0, 1), (1, 0), (1, 2), (2, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {r.node: r["rank"] for r in pagerank(df).collect()}
+    want = _numpy_pagerank(edges)  # reference dedups via set(edges)
+    for v in want:
+        assert abs(base[v] - want[v]) < 1e-9
+    again = {
+        r.node: r["rank"]
+        for r in pagerank(df.repartition(7)).collect()
+    }
+    assert again == base  # bit-identical across partitionings
