@@ -2700,11 +2700,13 @@ WINDOW_CORE = [
 # driver row (VERDICT r4 #2 promotion list) + er1 (also never-rowed —
 # surfaced by WINDOW_HISTORY; it takes the 15th slot over an lk1
 # holdover because lk1 already has its r4 green row).  Rotated OUT
-# this round — all with green driver rows r1-r4: dd1, dd4, dd4b, dd5b,
-# dd7, dd8, ann1, tx1-tx4, st6, er2, lk1, ds1.  ds2_pack_sequences is
-# the one oracled check left without a driver row (15 slots, 16
-# never-rowed candidates); it is verified by the identical DuckDB
-# comparison every pytest run (tests/test_oracle_queries.py).
+# this round — all with green driver rows r1-r4: dd1, dd4, dd4b, dd5,
+# dd5b, dd7, dd8, ann1, tx1-tx4, st6, er2, lk1, ds1 (dd5's slot went
+# to the late-r5 g1_pagerank, see below).  Oracled checks without a
+# driver row after this window: ds2_pack_sequences plus the late-r5
+# dd10/ds5 (15 slots, 18 never-rowed candidates); each is verified by
+# the identical DuckDB comparison every pytest run
+# (tests/test_oracle_queries.py).
 WINDOW_R5 = [
     "er1_blocking_reduction",
     # crawl-hygiene / text-analysis family
@@ -2712,8 +2714,14 @@ WINDOW_R5 = [
     "tx7_repetition_stats",
     "tx8_pii_scrub",
     "tx10_nfc_normalize",
-    # dedup family (small-scale exact baselines + chunk-level)
-    "dd5_embedding_neardup",
+    # dedup family (chunk-level) + late-r5 web-graph centrality:
+    # dd5_embedding_neardup gave this slot to g1_pagerank — dd5
+    # already holds green driver rows from r1/r2/r3, g1 is new this
+    # round and the rotation's whole point is that every oracled
+    # check earns a row (dd10/ds5, also new, stay pytest-oracled —
+    # one free slot, allocated to the most novel verification
+    # surface: the 10-iteration hash-exact ranks).
+    "g1_pagerank",
     "dd6_chunk_exact_dedup",
     # dataset ops
     "ds3_stratified_sample",
