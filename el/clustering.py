@@ -124,7 +124,9 @@ def pagerank(
     - per iteration: contribution = rank / out_degree (one IEEE
       division), incoming mass summed via the decimal(28,12)
       exact-sum trick (order-independent, so bit-identical across
-      engines AND partitionings), then
+      engines AND partitionings; scale 12 suits test-scale graphs —
+      at web scale, where ranks sit near 1/N, raise the scale with
+      log10(N) to keep significant digits), then
       rank' = (1-d)/N + d * (incoming + dangling_mass/N);
     - dangling nodes (no out-edges) redistribute their mass
       uniformly; the mass is a 1-row exact-decimal aggregate per

@@ -140,10 +140,15 @@ def strip_repeated_chunks(
 
     Scale: one explode to (pos, digest) postings; the boilerplate
     digest set comes from a hash groupBy with map-side partial
-    aggregation (only 32-hex digests + ids shuffle, never text); the
-    removed-position lists ride a left join back onto the base scan
-    and the rebuild is pure JVM higher-order array ops (no second
-    text pass, no Python). Linear, no self-join."""
+    aggregation, so the detection stages shuffle only 32-hex digests
+    + ids, never text. The rebuild joins the removed-position lists
+    (one small int array per AFFECTED doc — docs with nothing removed
+    have no row) back onto the base scan: AQE broadcasts that side
+    while it is small; in the pervasive-boilerplate regime it
+    co-partitions on id, which is the minimum any rewrite can do
+    (removal info must meet the text somewhere). The rebuild itself
+    is pure JVM higher-order array ops — no second text pass, no
+    Python. Linear, no self-join."""
     toks = tokens_of(F.col(text_col))
     base = (
         df.where(F.col(text_col).isNotNull())
