@@ -571,16 +571,44 @@ def simhash_pairs(
     ``max_bucket`` caps band-bucket membership (module docstring);
     with it set the Hamming<=3 completeness guarantee holds only
     within the kept members of each bucket."""
-    sh = simhash_col(df, text_col, id_col)
-    bands = sh.select(
+    return hamming_band_pairs(
+        simhash_col(df, text_col, id_col),
+        hash_col="simhash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_band_pairs(
+    hashed: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Pairs with Hamming distance <= ``max_hamming`` between 64-bit
+    sketches in ``hash_col`` — the band-then-verify core shared by
+    text SimHash (dd3) and image dHash (mm6): the word is split into
+    4 x 16-bit bands, pairs colliding on any band are candidates
+    (pigeonhole: <=3 differing bits leave at least one band intact,
+    so the candidate set is COMPLETE for max_hamming <= 3), and the
+    exact distance is one JVM popcount of the XOR — no Python in the
+    join. Output: (a_id, b_id, hamming).
+
+    Scale: candidates are an equi-join on band_key, so the shuffle
+    carries (id, 8-byte sketch) per band — never the underlying
+    text/pixels; ``max_bucket`` caps hot buckets (uniform-ish sketch
+    bands make true hot buckets rare — a hot band IS a dup cluster)."""
+    bands = hashed.select(
         F.col(id_col),
-        "simhash",
+        F.col(hash_col),
         F.explode(
             F.array(
                 *[
                     F.concat(
                         F.lit(f"{i}:"),
-                        F.shiftrightunsigned("simhash", 16 * i)
+                        F.shiftrightunsigned(hash_col, 16 * i)
                         .bitwiseAND(F.lit(0xFFFF))
                         .cast("string"),
                     )
@@ -592,10 +620,10 @@ def simhash_pairs(
     if max_bucket is not None:
         bands = cap_bucket_members(bands, "band_key", id_col, max_bucket)
     a = bands.select(
-        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"), "band_key"
+        F.col(id_col).alias("a_id"), F.col(hash_col).alias("a_sh"), "band_key"
     )
     b = bands.select(
-        F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sh"), "band_key"
+        F.col(id_col).alias("b_id"), F.col(hash_col).alias("b_sh"), "band_key"
     )
     cand = (
         a.join(b, on="band_key")

@@ -265,6 +265,87 @@ def resize_images(
     return blobs.mapInPandas(gen, schema=RESIZED_SCHEMA)
 
 
+# -- perceptual hashing + image near-dup (mm6) ---------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+
+def dhash_py(px: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
+    """64-bit difference hash (the classic perceptual image sketch):
+    nearest-neighbor resize to (hash_h, hash_w+1), bit (r, c) set iff
+    ``px[r, c+1] > px[r, c]``, packed row-major MSB-first. Integer
+    arithmetic only (the NN resize is index math), so the sketch is
+    bit-identical everywhere — unlike DCT pHash, no float transform
+    to drift across BLAS builds. Returned as signed int64 (LongType).
+    Pure function shared by the Spark kernel and the pytest parity
+    reference."""
+    small = resize_pixels(px, hash_w + 1, hash_h)
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint8).ravel()
+    word = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return int(np.uint64(word).astype(np.int64))
+
+
+def dhash_images(
+    blobs: DataFrame, hash_w: int = 8, hash_h: int = 8
+) -> DataFrame:
+    """(blob_id, dhash, valid) via one vectorized mapInPandas pass —
+    decode + resize + compare stay inside the Arrow batch; malformed
+    blobs yield (dhash=NULL, valid=false), never an executor crash."""
+    if hash_w * hash_h != 64:
+        raise ValueError("dhash must pack exactly 64 bits")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for bid, content in zip(pdf["blob_id"], pdf["content"]):
+                try:
+                    h = dhash_py(decode_pixels(content), hash_w, hash_h)
+                    rows.append((int(bid), h, True))
+                except ValueError:
+                    rows.append((int(bid), None, False))
+            yield pd.DataFrame(rows, columns=["blob_id", "dhash", "valid"])
+
+    return blobs.select("blob_id", "content").mapInPandas(
+        gen, schema=DHASH_SCHEMA
+    )
+
+
+def image_neardup_pairs(
+    blobs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs: dHash sketch -> the same 4x16-band
+    + JVM-popcount verify core as text SimHash (el.dedup.
+    hamming_band_pairs — complete for max_hamming <= 3). This is the
+    image leg of a training-data dedup stack: re-encoded / slightly
+    retouched copies keep Hamming(dhash) small while distinct images
+    land ~32 bits apart.
+
+    ``max_bucket`` defaults to None (exact) rather than the text-side
+    production cap: pixel sketches have no Zipfian hot keys — a hot
+    dhash band IS a duplicate cluster, which is the signal itself.
+    Pass a cap for adversarial corpora (e.g. tiled single-color
+    crops). Scale: after the one decode pass only (id, 8-byte sketch)
+    shuffles; pixels never leave the scan stage."""
+    from el.dedup import hamming_band_pairs
+
+    h = dhash_images(blobs).where(F.col("valid")).select("blob_id", "dhash")
+    return hamming_band_pairs(
+        h,
+        hash_col="dhash",
+        id_col="blob_id",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
 # -- video frame sampling (VID1; UDTF-shaped 1 -> N) ---------------------
 
 VID_MAGIC = b"VID1"

@@ -1989,6 +1989,45 @@ def mm3_resize_images(spark, sf_dir):
     )
 
 
+@check("mm6_image_neardup", oracle=None)  # binary kernel, Spark-side only
+def mm6_image_neardup(spark, sf_dir):
+    """Image near-dup pairs: dHash perceptual sketch -> the shared
+    4x16-band + popcount core (el.multimodal.image_neardup_pairs).
+    Planted near-dups: every 10th blob is re-encoded with one payload
+    byte nudged, so the pair list is non-empty and deterministic;
+    completeness vs brute-force truth is pinned in
+    tests/test_multimodal.py (no SQL engine can express the decode)."""
+    import pandas as pd
+
+    from el.multimodal import (
+        decode_pixels,
+        dhash_py,
+        encode_img1,
+        gen_blobs,
+        image_neardup_pairs,
+    )
+
+    blobs = gen_blobs(spark, 300)
+
+    def retouch(batches):
+        for pdf in batches:
+            out = []
+            for bid, mt, content in zip(
+                pdf["blob_id"], pdf["media_type"], pdf["content"]
+            ):
+                out.append((int(bid), mt, bytes(content)))
+                if bid % 10 == 0:
+                    px = decode_pixels(content).copy()
+                    px[0, 0] = 255 - px[0, 0]
+                    out.append((int(bid) + 100_000, mt, encode_img1(px)))
+            yield pd.DataFrame(
+                out, columns=["blob_id", "media_type", "content"]
+            )
+
+    corpus = blobs.mapInPandas(retouch, schema=blobs.schema)
+    return image_neardup_pairs(corpus, max_hamming=3)
+
+
 @check("mm4_sample_frames", oracle=None)  # binary kernel, Spark-side only
 def mm4_sample_frames(spark, sf_dir):
     """UDTF-shaped video frame sampling: every 4th VID1 frame emitted
@@ -2502,6 +2541,127 @@ def tx9_compression_ratio(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return compression_ratio(d)
+
+
+def _page_text_col() -> F.Column:
+    """Multi-line page text deterministically synthesized from each
+    document's tokens (the fixture corpus is single-line prose, so —
+    as with tx6's URLs — the structure the line-shape rules exercise
+    is built inside the query, identically on both engines): tokens
+    re-flowed 8 per line, with bullet prefixes ('- '/'* '), ellipsis
+    suffixes (' ...') and hash marks (' ##') toggled by distinct
+    (doc_id + line_idx) moduli so every rule sees both regimes."""
+    from el.textops import tokens_of
+
+    toks = tokens_of(F.col("text"))
+    did = F.col("doc_id")
+    n_lines = F.floor((F.size(toks) + F.lit(7)) / F.lit(8)).cast("int")
+
+    def line(i):
+        k = did + i
+        prefix = (
+            F.when(k % 3 == 0, F.lit("- "))
+            .when(k % 5 == 1, F.lit("* "))
+            .otherwise(F.lit(""))
+        )
+        suffix = (
+            F.when(k % 4 == 1, F.lit(" ..."))
+            .when(k % 7 == 2, F.lit(" ##"))
+            .otherwise(F.lit(""))
+        )
+        return F.concat(
+            prefix, F.array_join(F.slice(toks, i * 8 + 1, 8), " "), suffix
+        )
+
+    return F.array_join(
+        F.transform(F.sequence(F.lit(0), n_lines - 1), line), "\n"
+    )
+
+
+_PAGE_TEXT_SQL = """
+    array_to_string(list_transform(range((len(l) + 7) // 8), i ->
+        (CASE WHEN (doc_id + i) % 3 = 0 THEN '- '
+              WHEN (doc_id + i) % 5 = 1 THEN '* '
+              ELSE '' END)
+        || array_to_string(l[i*8+1 : i*8+8], ' ')
+        || (CASE WHEN (doc_id + i) % 4 = 1 THEN ' ...'
+                 WHEN (doc_id + i) % 7 = 2 THEN ' ##'
+                 ELSE '' END)
+    ), chr(10))
+"""
+
+
+@check(
+    "tx11_gopher_rules",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, {t} AS l FROM documents
+      WHERE text IS NOT NULL AND len({t}) > 0
+    ), page AS (
+      SELECT doc_id, {page} AS text FROM tk
+    ), sig AS (
+      SELECT doc_id, {t} AS toks, string_split(text, chr(10)) AS lines,
+             text
+      FROM page
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(coalesce(list_aggregate(
+                    list_transform(toks, x -> len(x)), 'sum'), 0)
+                  AS BIGINT) AS token_chars,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                  AS BIGINT) AS alpha_words,
+             CAST(len(list_filter(toks, x -> list_contains({en}, x)))
+                  AS BIGINT) AS n_stop_hits,
+             CAST((len(text) - len(replace(text, '#', '')))
+                  + (len(text) - len(replace(text, '...', ''))) / 3
+                  AS BIGINT) AS n_symbols,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, x ->
+                    starts_with(x, '- ') OR starts_with(x, '* ')))
+                  AS BIGINT) AS bullet_lines,
+             CAST(len(list_filter(lines, x -> ends_with(x, '...')))
+                  AS BIGINT) AS ellipsis_lines
+      FROM sig
+    ), r AS (
+      SELECT doc_id, n_words, n_stop_hits, n_lines,
+             CAST(token_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS mean_word_len,
+             CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS alpha_word_frac,
+             CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS symbol_word_ratio,
+             CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+               AS bullet_line_frac,
+             CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+               AS ellipsis_line_frac
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+           symbol_word_ratio, n_lines, bullet_line_frac,
+           ellipsis_line_frac, n_stop_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND n_stop_hits >= 2) AS gopher_pass
+    FROM r
+    """.format(t=_TOKS_SQL, page=_PAGE_TEXT_SQL, en=_STOP_SQL["en"]),
+)
+def tx11_gopher_rules(spark, sf_dir):
+    """Gopher-style rule filter (el.textops.gopher_rules) over
+    synthesized multi-line page text; every signal column and the
+    combined pass verdict are compared hash-exactly (single IEEE
+    divisions of exact integer counts on both engines)."""
+    from el.textops import gopher_rules, tokens_of
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.size(tokens_of(F.col("text"))) > 0)
+    )
+    page = d.select("doc_id", _page_text_col().alias("text"))
+    return gopher_rules(page)
 
 
 @check(

@@ -253,6 +253,117 @@ def repetition_stats(
     )
 
 
+# Gopher rule-filter defaults (Rae et al. 2021, "Scaling Language
+# Models: ...Gopher", Table A1), with the word-count floor lowered to
+# the fixture scale's doc lengths; callers tune per corpus.
+GOPHER_DEFAULTS = dict(
+    min_words=50,
+    max_words=100_000,
+    min_mean_word_len=3.0,
+    max_mean_word_len=10.0,
+    max_symbol_word_ratio=0.1,
+    max_bullet_line_frac=0.9,
+    max_ellipsis_line_frac=0.3,
+    min_alpha_word_frac=0.8,
+    min_stop_hits=2,
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds,
+) -> DataFrame:
+    """Per-document Gopher-style rule signals plus the combined
+    ``gopher_pass`` verdict — the line/char-shape half of the rule
+    family (``repetition_stats`` carries the word/ngram-repetition
+    half). Signals:
+
+    - ``n_words`` / ``mean_word_len`` over the shared token spec;
+    - ``alpha_word_frac``: tokens containing a letter / tokens
+      (pure-digit runs drag it down);
+    - ``symbol_word_ratio``: ('#' chars + ASCII '...' runs) / tokens;
+    - ``n_lines`` / ``bullet_line_frac`` (lines starting '- '/'* ') /
+      ``ellipsis_line_frac`` (lines ending '...');
+    - ``n_stop_hits``: total (non-distinct) English stopword tokens;
+    - ``gopher_pass``: AND of the threshold rules (GOPHER_DEFAULTS,
+      overridable per keyword).
+
+    Zero-token documents get NULL ratios and ``gopher_pass`` false.
+
+    Scale: a pure projection — every signal is a builtin-expression
+    fold over the tokens/lines arrays, whole-stage codegen, zero
+    shuffle, no Python. Ratios are single IEEE divisions of exact
+    integer counts, so the DuckDB oracle (tx11) compares raw doubles
+    hash-exactly."""
+    th = {**GOPHER_DEFAULTS, **thresholds}
+    unknown = set(th) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown gopher thresholds: {sorted(unknown)}")
+    text = F.col(text_col)
+    toks = tokens_of(text)
+    n_words = F.size(toks).cast("long")
+    nw_d = n_words.cast("double")
+    token_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda a, x: a + x,
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("long")
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(en_stop, t))
+    ).cast("long")
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_symbols = (n_hash + n_ellipsis).cast("long")
+    lines = F.split(text, "\n", -1)
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.startswith("- ") | l.startswith("* "))
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    ).cast("long")
+
+    has_words = n_words > 0
+    ratio = lambda num: F.when(has_words, num.cast("double") / nw_d)  # noqa: E731
+    mean_word_len = ratio(token_chars)
+    alpha_word_frac = ratio(alpha_words)
+    symbol_word_ratio = ratio(n_symbols)
+    bullet_line_frac = bullet_lines.cast("double") / n_lines.cast("double")
+    ellipsis_line_frac = ellipsis_lines.cast("double") / n_lines.cast("double")
+    gopher_pass = (
+        has_words
+        & n_words.between(th["min_words"], th["max_words"])
+        & mean_word_len.between(
+            th["min_mean_word_len"], th["max_mean_word_len"]
+        )
+        & (symbol_word_ratio <= th["max_symbol_word_ratio"])
+        & (bullet_line_frac <= th["max_bullet_line_frac"])
+        & (ellipsis_line_frac <= th["max_ellipsis_line_frac"])
+        & (alpha_word_frac >= th["min_alpha_word_frac"])
+        & (stop_hits >= th["min_stop_hits"])
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        n_lines.alias("n_lines"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        stop_hits.alias("n_stop_hits"),
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
 # -- PII scrubbing -------------------------------------------------------
 
 # conservative patterns valid in both Java regex (Spark) and RE2 (DuckDB)

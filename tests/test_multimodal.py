@@ -212,3 +212,83 @@ def test_audio_single_sample_stream_zcr_zero(spark):
     df = spark.createDataFrame([(1, "audio", bytearray(one))], BLOB_SCHEMA)
     r = audio_features(df).collect()[0]
     assert r.valid and r.zcr == 0.0 and r.frame_rms == []
+
+
+def _craft_image(seed: int, w: int = 9, h: int = 8):
+    import numpy as np
+
+    r, c = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return ((r * 7 + c * 13 + seed * 53) % 251).astype(np.uint8)
+
+
+def test_dhash_spark_matches_independent_reference(spark):
+    import numpy as np
+
+    from el.multimodal import dhash_images, dhash_py, encode_img1
+
+    rows = [
+        (i, "image", bytearray(encode_img1(_craft_image(i, 20 + i, 15))))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "blob_id long, media_type string, content binary"
+    )
+    got = {r.blob_id: r.dhash for r in dhash_images(df).collect()}
+    for i in range(6):
+        px = _craft_image(i, 20 + i, 15)
+        # independent bit-pack reference (explicit loop, not packbits)
+        small_r = (np.arange(8) * 15) // 8
+        small_c = (np.arange(9) * (20 + i)) // 9
+        small = px[np.ix_(small_r, small_c)]
+        word = 0
+        for rr in range(8):
+            for cc in range(8):
+                word = (word << 1) | int(small[rr, cc + 1] > small[rr, cc])
+        expect = int(np.uint64(word).astype(np.int64))
+        assert got[i] == expect == dhash_py(px)
+
+
+def test_image_neardup_pairs_match_bruteforce_truth(spark):
+    import numpy as np
+
+    from el.multimodal import (
+        dhash_py,
+        encode_img1,
+        image_neardup_pairs,
+    )
+
+    # 9x8 images -> the NN resize is the identity, so a single-pixel
+    # retouch flips at most 2 dhash bits: a guaranteed near-dup.
+    imgs = {i: _craft_image(i) for i in range(10)}
+    retouched = imgs[0].copy()
+    retouched[2, 3] = 255
+    imgs[10] = retouched
+    rows = [
+        (i, "image", bytearray(encode_img1(px))) for i, px in imgs.items()
+    ] + [(99, "image", bytearray(b"NOPE"))]
+    df = spark.createDataFrame(
+        rows, "blob_id long, media_type string, content binary"
+    ).repartition(7)
+
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in image_neardup_pairs(df, max_hamming=3).collect()
+    }
+    hashes = {i: dhash_py(px) for i, px in imgs.items()}
+    truth = set()
+    ids = sorted(hashes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ham = bin((hashes[a] ^ hashes[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if ham <= 3:
+                truth.add((a, b, ham))
+    assert (0, 10) in {(a, b) for a, b, _ in truth}  # planted pair exists
+    assert got == truth  # banding is complete at <=3 and verify exact
+
+    # determinism across partitionings
+    got1 = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in image_neardup_pairs(df.repartition(1), max_hamming=3).collect()
+    }
+    assert got1 == got

@@ -376,3 +376,44 @@ def test_bigram_counts_model_roundtrip_and_determinism(spark, tmp_path):
     # the returned counts read the committed parquet)
     again = BigramCountsModel.fit_or_load(spark, d, path, seed="lm")
     assert "parquet" in again.counts.inputFiles()[0]
+
+
+def test_gopher_rules_crafted(spark):
+    import pytest
+
+    from el.textops import gopher_rules
+
+    good = ("the data and " + "pipeline table scan " * 20).strip()  # 63 words
+    rows = [
+        (1, good),                                   # passes every rule
+        (2, "short text the and"),                   # word-count floor
+        (3, "- the one\n- two and\n- three of"),     # all-bullet lines
+        (4, "the first part ...\nthe second bit ...\nthe third ...\nplain"),
+        (5, "## " * 60 + good),                      # symbol ratio
+        (6, "123 456 789 " * 30 + "the and"),        # alpha-word floor
+        (7, "table scan merge " * 25),               # no stopwords
+        (8, "...---!!!"),                            # zero tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+
+    assert out[1].gopher_pass
+    assert out[1].n_lines == 1 and out[1].bullet_line_frac == 0.0
+    assert not out[2].gopher_pass and out[2].n_words == 4
+    assert out[3].bullet_line_frac == 1.0 and not out[3].gopher_pass
+    assert out[4].ellipsis_line_frac == 0.75 and not out[4].gopher_pass
+    assert out[5].symbol_word_ratio > 0.1 and not out[5].gopher_pass
+    assert out[6].alpha_word_frac < 0.8 and not out[6].gopher_pass
+    assert out[7].n_stop_hits == 0 and not out[7].gopher_pass
+    # zero-token doc: NULL ratios, pass is FALSE (not null)
+    assert out[8].n_words == 0 and out[8].mean_word_len is None
+    assert out[8].gopher_pass is False
+
+    # threshold overrides change the verdict; unknown keys raise
+    relaxed = {
+        r.doc_id: r.gopher_pass
+        for r in gopher_rules(df, min_words=3, min_stop_hits=1).collect()
+    }
+    assert relaxed[2]
+    with pytest.raises(ValueError, match="unknown gopher"):
+        gopher_rules(df, max_wordz=1)
