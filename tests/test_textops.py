@@ -417,3 +417,32 @@ def test_gopher_rules_crafted(spark):
     assert relaxed[2]
     with pytest.raises(ValueError, match="unknown gopher"):
         gopher_rules(df, max_wordz=1)
+
+
+def test_host_stats_null_and_dup_accounting(spark):
+    """host_stats: an all-null host reports 0.0 means (no division by
+    zero), within-host exact dups shrink n_distinct_texts and raise
+    dup_rate, and char totals count only non-null text."""
+    from el.textops import host_stats
+
+    rows = [
+        ("h1", "en", "aaaa"),      # 4 chars
+        ("h1", "de", "aaaa"),      # exact dup of the first
+        ("h1", "en", "bbbbbb"),    # 6 chars
+        ("h1", "en", None),
+        ("h2", "en", None),
+        ("h2", "en", None),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {r.host: r.asDict() for r in host_stats(df).collect()}
+
+    h1 = got["h1"]
+    assert (h1["n_docs"], h1["n_null"], h1["total_chars"]) == (4, 1, 14)
+    assert h1["n_distinct_texts"] == 2 and h1["n_langs"] == 2
+    assert abs(h1["mean_chars"] - 14 / 3) < 1e-12
+    assert abs(h1["dup_rate"] - (1 - 2 / 3)) < 1e-12
+
+    h2 = got["h2"]
+    assert (h2["n_docs"], h2["n_null"]) == (2, 2)
+    assert h2["mean_chars"] == 0.0 and h2["dup_rate"] == 0.0
+    assert h2["n_distinct_texts"] == 0
