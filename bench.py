@@ -84,6 +84,7 @@ HEADLINE_OPTIONAL = [
     # that pin the web-graph construction path's wall)
     "g0_extract_links",
     "tx12_host_stats",
+    "tx13_blocklist_filter",
 ]
 
 

@@ -2806,6 +2806,69 @@ def tx12_host_stats(spark, sf_dir):
 
 
 @check(
+    "tx13_blocklist_filter",
+    oracle="""
+    WITH hosts AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'ads.tracker' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.net'
+                  ELSE 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.site'
+                       || CAST(doc_id % 7 AS VARCHAR) || '.example.org'
+             END AS host
+      FROM documents
+    ), bl(blocked_host) AS (
+      VALUES ('site3.example.org'), ('tracker2.net'),
+             ('ads.tracker1.net')
+    ), chains AS (
+      SELECT doc_id, host, string_split(host, '.') AS p FROM hosts
+    ), expl AS (
+      SELECT doc_id, host,
+             unnest(list_transform(range(1, len(p)+1),
+                    i -> array_to_string(p[i:], '.'))) AS sfx
+      FROM chains
+    ), bad AS (
+      SELECT DISTINCT host FROM expl JOIN bl ON sfx = blocked_host
+    )
+    SELECT h.doc_id, h.host FROM hosts h ANTI JOIN bad USING (host)
+    """,
+)
+def tx13_blocklist_filter(spark, sf_dir):
+    """Domain-blocklist filtering (el.textops.blocklist_filter) with
+    suffix-chain subdomain semantics, over hosts deterministically
+    synthesized from doc_id on BOTH engines: a tracker-host regime
+    (doc_id%4) and a sub.siteK regime, against a 3-entry blocklist
+    that exercises registrable-domain blocking ('site3.example.org'
+    kills every sub* under it; 'tracker2.net' kills ads.tracker2.net)
+    and exact-host blocking ('ads.tracker1.net'). Survivors compared
+    hash-exactly; the subset/complement properties are pinned in
+    tests/test_textops.py."""
+    from el.textops import blocklist_filter
+
+    did = F.col("doc_id")
+    host = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit("ads.tracker"), (did % 5).cast("string"), F.lit(".net")
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("sub"),
+            (did % 3).cast("string"),
+            F.lit(".site"),
+            (did % 7).cast("string"),
+            F.lit(".example.org"),
+        )
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", host.alias("host"))
+    bl = spark.createDataFrame(
+        [("site3.example.org",), ("tracker2.net",), ("ads.tracker1.net",)],
+        "blocked_host string",
+    )
+    return blocklist_filter(d, bl, host_col="host")
+
+
+@check(
     "j9_bloom_semi_orders",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

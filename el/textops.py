@@ -822,3 +822,61 @@ def host_stats(
     if lang_col is not None:
         cols.insert(5, F.col("n_langs"))
     return g.select(*cols)
+
+
+# -- host blocklist filtering (UT1/RefinedWeb-style URL filtering) --------
+
+
+def host_suffix_chain(col: Column) -> Column:
+    """All dot-suffixes of a hostname, most-specific first:
+    ``a.b.c.com -> [a.b.c.com, b.c.com, c.com, com]``. A blocklist
+    entry matches a host iff it appears in the host's chain, which
+    gives registrable-domain entries subdomain-blocking semantics and
+    exact-host entries exact semantics with ONE equi-joinable key —
+    no LIKE scans, no per-entry regex."""
+    parts = F.split(col, "\\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    blocked_col: str = "blocked_host",
+) -> DataFrame:
+    """Drop rows whose host matches a domain blocklist (UT1 adult/
+    malware lists, RefinedWeb's URL filtering): an entry blocks the
+    exact host AND every subdomain of it (suffix-chain semantics,
+    ``host_suffix_chain``). NULL hosts are kept — no authority to
+    match; gate them separately if the pipeline wants them gone.
+
+    Scale shape: the CORPUS is never exploded and never shuffled.
+    The distinct-host table (~1e7-1e8 rows at crawl scale, orders of
+    magnitude under doc cardinality) is exploded to its suffix chain
+    and semi-joined against the broadcast blocklist; the resulting
+    bad-host table (hosts actually blocked — small) anti-joins back
+    against the corpus, where AQE converts it to a broadcast anti
+    join. Two broadcast joins + one tiny distinct: the only exchange
+    carrying corpus rows is none at all."""
+    host = F.col(host_col)
+    hosts = df.where(host.isNotNull()).select(host.alias("_bl_host")).distinct()
+    sfx = hosts.select(
+        "_bl_host",
+        F.explode(host_suffix_chain(F.col("_bl_host"))).alias("_bl_sfx"),
+    )
+    bad = (
+        sfx.join(
+            F.broadcast(blocklist.select(F.col(blocked_col).alias("_bl_sfx"))),
+            on="_bl_sfx",
+            how="left_semi",
+        )
+        .select("_bl_host")
+        .distinct()
+    )
+    return df.join(
+        bad, on=host == F.col("_bl_host"), how="left_anti"
+    )

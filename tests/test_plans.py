@@ -332,3 +332,24 @@ def test_default_capped_generators_plan_shape(spark):
         # uncapped oracle form: no window machinery at all
         plain = _plan(gen(docs, max_bucket=None))
         assert "WindowGroupLimit" not in plain, gen.__name__
+
+
+def test_blocklist_filter_broadcasts_never_shuffles_corpus(spark):
+    """tx13's scale contract: the corpus side of blocklist_filter
+    reaches its anti-join with NO exchange of corpus rows — the
+    blocklist joins broadcast — and only the tiny distinct-host
+    table is ever hash-partitioned."""
+    from el.textops import blocklist_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("source").alias("host")
+    )
+    bl = spark.createDataFrame([("src1",), ("src2",)], "blocked_host string")
+    plan = _plan(blocklist_filter(docs, bl))
+    assert "BroadcastHashJoin" in plan
+    # the corpus scan feeds the final anti-join without repartitioning:
+    # every Exchange in the plan sits under the distinct-host branch
+    # (keyed on the renamed _bl_host), never on corpus columns
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_bl_host" in line, line

@@ -446,3 +446,33 @@ def test_host_stats_null_and_dup_accounting(spark):
     assert (h2["n_docs"], h2["n_null"]) == (2, 2)
     assert h2["mean_chars"] == 0.0 and h2["dup_rate"] == 0.0
     assert h2["n_distinct_texts"] == 0
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    """blocklist_filter: an entry blocks the exact host and every
+    subdomain (suffix-chain semantics), non-matching siblings and
+    NULL hosts survive, and survivors + blocked partition the
+    non-null input."""
+    from el.textops import blocklist_filter, host_suffix_chain
+
+    rows = [
+        (1, "evil.com"),            # exact match
+        (2, "a.evil.com"),          # subdomain of entry
+        (3, "deep.a.evil.com"),     # deeper subdomain
+        (4, "notevil.com"),         # suffix-of-STRING but not of chain
+        (5, "ads.tracker.net"),     # exact entry
+        (6, "tracker.net"),         # parent of an exact entry: survives
+        (7, None),                  # no authority: kept
+        (8, "fine.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    bl = spark.createDataFrame(
+        [("evil.com",), ("ads.tracker.net",)], "blocked_host string"
+    )
+    kept = {r.doc_id for r in blocklist_filter(df, bl).collect()}
+    assert kept == {4, 6, 7, 8}
+
+    chain = df.where(F.col("host") == "deep.a.evil.com").select(
+        host_suffix_chain(F.col("host")).alias("c")
+    ).collect()[0]["c"]
+    assert chain == ["deep.a.evil.com", "a.evil.com", "evil.com", "com"]
