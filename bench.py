@@ -85,6 +85,7 @@ HEADLINE_OPTIONAL = [
     "g0_extract_links",
     "tx12_host_stats",
     "tx13_blocklist_filter",
+    "ds6_decontaminated_split",
 ]
 
 

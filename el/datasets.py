@@ -309,3 +309,56 @@ def benchmark_contamination(
         frac.alias("contamination_frac"),
         (n_cont >= threshold).alias("contaminated"),
     )
+
+
+def decontaminated_split(
+    docs: DataFrame,
+    bench: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    n: int = 13,
+    threshold: int = 1,
+    text_col: str = "text",
+    seed: str = "",
+    protect: tuple[str, ...] = ("train",),
+    quarantine: str = "quarantine",
+) -> DataFrame:
+    """Contamination-aware train/val/test split — the composition the
+    GPT-3 appendix actually performs: assign every record its
+    leakage-safe hash split (``hash_split``), flag records sharing
+    token n-grams with the benchmark (``benchmark_contamination``),
+    and re-route contaminated records OUT of the protected training
+    splits into ``quarantine``. Held-out splits keep contaminated
+    records by default (they threaten the EXTERNAL benchmark only if
+    trained on); pass ``protect=tuple(weights)`` to quarantine them
+    everywhere.
+
+    Records with NULL text carry no grams and are never contaminated.
+    Returns ``(key, split, contaminated)``.
+
+    Scale shape: the split is a pure projection (no exchange); the
+    contamination side ends in a groupBy on the key, so the final
+    left join arrives already partitioned on the key and reuses that
+    exchange — the composition adds no shuffle beyond what dc1
+    already pays."""
+    base = hash_split(docs, key_col, weights, seed=seed).select(
+        key_col, "split"
+    )
+    cont = benchmark_contamination(
+        docs,
+        bench,
+        n=n,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=key_col,
+    ).select(key_col, "contaminated")
+    joined = base.join(cont, on=key_col, how="left")
+    is_cont = F.coalesce(F.col("contaminated"), F.lit(False))
+    routed = F.when(
+        is_cont & F.col("split").isin(*protect), F.lit(quarantine)
+    ).otherwise(F.col("split"))
+    return joined.select(
+        key_col,
+        routed.alias("split"),
+        is_cont.alias("contaminated"),
+    )

@@ -2279,6 +2279,66 @@ def dc1_benchmark_contamination(spark, sf_dir):
 
 
 @check(
+    "ds6_decontaminated_split",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, {t} AS t FROM documents WHERE text IS NOT NULL
+    ), g AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 0) + 1),
+               i -> array_to_string(t[i:i+4], ' '))) AS grams
+      FROM toks
+    ), tot AS (
+      SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM g
+    ), posts AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g
+    ), bg AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 37 = 0
+    ), hits AS (
+      SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_cont
+      FROM posts p JOIN bg USING (gram) GROUP BY p.doc_id
+    ), cont AS (
+      SELECT t.doc_id, coalesce(h.n_cont, 0) >= 3 AS contaminated
+      FROM tot t LEFT JOIN hits h USING (doc_id)
+    ), base AS (
+      SELECT doc_id,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 10000 AS b
+            FROM documents)
+    )
+    SELECT b.doc_id,
+           CASE WHEN coalesce(c.contaminated, FALSE) AND b.split = 'train'
+                THEN 'quarantine' ELSE b.split END AS split,
+           coalesce(c.contaminated, FALSE) AS contaminated
+    FROM base b LEFT JOIN cont c USING (doc_id)
+    """.format(t=_TOKS_SQL),
+)
+def ds6_decontaminated_split(spark, sf_dir):
+    """Contamination-aware split (el.datasets.decontaminated_split):
+    the ds1 hash split composed with the dc1 overlap flag — docs
+    sharing >= 3 distinct 5-grams with the stand-in benchmark
+    (doc_id % 37 == 0) are re-routed from 'train' to 'quarantine',
+    held-out splits keep theirs. DuckDB recomputes BOTH legs (md5
+    bucket boundaries and the full gram/overlap chain) and the
+    re-routing case, so assignment AND flag are hash-exact."""
+    from el.datasets import decontaminated_split
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0)
+    return decontaminated_split(
+        d,
+        bench,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        n=5,
+        threshold=3,
+    )
+
+
+@check(
     "lm1_bigram_rarity",
     oracle="""
     WITH toks AS (

@@ -291,3 +291,47 @@ def test_weighted_mixture_plan_is_exchange_free(spark):
         df, "lang", {"en": 1.5}, key_col="doc_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_decontaminated_split_routing(spark):
+    """decontaminated_split: contaminated docs leave 'train' for
+    'quarantine', contaminated held-out docs keep their split by
+    default, NULL-text docs are never contaminated, and
+    protect=everything quarantines contaminated docs in any split."""
+    from el.datasets import decontaminated_split, hash_split
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, text if i % 2 == 0 else f"unique{i} " * 8) for i in range(40)]
+    rows.append((40, None))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(99, text)], "doc_id long, text string")
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    out = decontaminated_split(
+        docs, bench, weights, n=3, threshold=1
+    ).collect()
+    base = {
+        r.doc_id: r.split
+        for r in hash_split(docs, "doc_id", weights).collect()
+    }
+    for r in out:
+        if r.doc_id == 40:
+            assert not r.contaminated  # NULL text carries no grams
+            continue
+        assert r.contaminated == (r.doc_id % 2 == 0)
+        if r.contaminated and base[r.doc_id] == "train":
+            assert r.split == "quarantine"
+        else:
+            assert r.split == base[r.doc_id]
+    # at least one doc exercised each routing regime
+    assert any(r.split == "quarantine" for r in out)
+    assert any(r.contaminated and r.split != "quarantine" for r in out)
+
+    strict = decontaminated_split(
+        docs, bench, weights, n=3, threshold=1, protect=tuple(weights)
+    ).collect()
+    assert all(
+        (r.split == "quarantine") == r.contaminated
+        for r in strict
+        if r.doc_id != 40
+    )
