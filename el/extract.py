@@ -198,7 +198,7 @@ def extract_links(
     edges (not page bytes) ever reach an exchange. Binary html is
     decoded as UTF-8 via cast (Spark's binary->string cast), matching
     EXTRACT_SPEC's utf-8 posture."""
-    from el.textops import _SCHEME_HOST
+    from el.textops import normalized_host
 
     src = F.col(html_col)
     if dict(pages.dtypes).get(html_col) == "binary":
@@ -209,15 +209,9 @@ def extract_links(
             F.regexp_extract_all(src, F.lit(HREF_RE), F.lit(1))
         ).alias("link_no", "href"),
     )
-    host = F.lower(F.regexp_extract(F.col("href"), _SCHEME_HOST, 1))
-    host = F.regexp_replace(
-        F.regexp_replace(host, "^www\\.", ""), ":(80|443)$", ""
-    )
     return exploded.select(
         id_col,
         F.col("link_no").cast("int").alias("link_no"),
         "href",
-        F.when(host == "", F.lit(None).cast("string"))
-        .otherwise(host)
-        .alias("dst_host"),
+        normalized_host(F.col("href")).alias("dst_host"),
     )

@@ -59,6 +59,14 @@ class PipelineConfig:
     # else self-fit on the incoming batch.
     max_rare_bigram_frac: float | None = None
     bigram_counts_path: str | None = None
+    # host-blocklist ingest gate (r5 — UT1/RefinedWeb-style URL
+    # filtering in the production path): drop pages whose url host,
+    # or any parent domain of it (suffix-chain semantics), is listed.
+    # Off by default (None). Driver-side tuple because UT1-category
+    # lists are ~1e5-1e6 entries — broadcast-sized at any corpus
+    # scale; pipelines with a table-backed list call
+    # el.textops.blocklist_filter directly.
+    blocked_hosts: tuple[str, ...] | None = None
 
 
 def dedup_latest(pages: DataFrame) -> DataFrame:
@@ -89,6 +97,22 @@ def hygiene_stage(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     from el.textops import canonicalize_url, tokens_of
 
     out = pages
+    if cfg.blocked_hosts:
+        # cheapest-first: a pure host projection plus two broadcast
+        # joins (blocklist_filter's distinct-host plan) prunes blocked
+        # domains before the dedup window or any tokenization runs.
+        # Hosts are normalized exactly like canonicalize_url's host
+        # part so list entries match both raw and canonical urls.
+        from el.textops import blocklist_filter, normalized_host
+
+        bl = pages.sparkSession.createDataFrame(
+            [(h,) for h in cfg.blocked_hosts], "blocked_host string"
+        )
+        out = blocklist_filter(
+            out.withColumn("_hyg_host", normalized_host(F.col("url"))),
+            bl,
+            host_col="_hyg_host",
+        ).drop("_hyg_host")
     if cfg.canonical_url_dedup:
         w = Window.partitionBy("_curl").orderBy(
             F.col("warc_ts").desc(), F.xxhash64("html").asc()

@@ -827,6 +827,19 @@ def host_stats(
 # -- host blocklist filtering (UT1/RefinedWeb-style URL filtering) --------
 
 
+def normalized_host(col: Column) -> Column:
+    """Lowercased authority of an absolute URL with leading ``www.``
+    and default ports (80/443) stripped — the same normalization
+    canonicalize_url applies to its host part, exposed standalone as
+    the join/blocklist key. NULL for inputs without ``scheme://``
+    (relative URLs carry no authority). Pure builtin projection."""
+    host = F.lower(F.regexp_extract(col, _SCHEME_HOST, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(host, "^www\\.", ""), ":(80|443)$", ""
+    )
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
 def host_suffix_chain(col: Column) -> Column:
     """All dot-suffixes of a hostname, most-specific first:
     ``a.b.c.com -> [a.b.c.com, b.c.com, c.com, com]``. A blocklist
@@ -877,6 +890,8 @@ def blocklist_filter(
         .select("_bl_host")
         .distinct()
     )
+    # dataframe-qualified refs: a caller-supplied host_col named
+    # "_bl_host" must not make the anti-join condition ambiguous
     return df.join(
-        bad, on=host == F.col("_bl_host"), how="left_anti"
+        bad, on=df[host_col] == bad["_bl_host"], how="left_anti"
     )

@@ -184,6 +184,40 @@ def test_hygiene_rarity_gate(spark, tmp_path):
     }
 
 
+def test_hygiene_blocklist_gate(spark):
+    """tx13 host-blocklist gate in the hygiene stage (r5): off by
+    default (pass-through), and with a list entry the exact host,
+    every subdomain, and the www/port/tracking variants all drop
+    while unrelated hosts — including relative-url rows with no
+    authority at all — are kept."""
+    import datetime as dt
+
+    from el.pipeline import PipelineConfig, hygiene_stage
+
+    ts = dt.datetime(2026, 1, 1)
+    mk = lambda u: (u, ts, b"h", "some words here", "en")  # noqa: E731
+    pages = spark.createDataFrame(
+        [
+            mk("http://bad.example/x"),
+            mk("https://www.bad.example:443/y?utm_source=z"),
+            mk("http://cdn.ads.bad.example/z"),  # deep subdomain
+            mk("http://notbad.example/ok"),  # suffix of name, NOT of domain
+            mk("http://good.org/ok"),
+            mk("/relative/no-authority"),  # null host: kept
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    assert hygiene_stage(pages, PipelineConfig()).count() == 6
+    kept = hygiene_stage(
+        pages, PipelineConfig(blocked_hosts=("bad.example",))
+    )
+    assert {r.url for r in kept.collect()} == {
+        "http://notbad.example/ok",
+        "http://good.org/ok",
+        "/relative/no-authority",
+    }
+
+
 def test_hygiene_stage_short_docs_survive_filters(spark):
     """0/1-token pages must not crash the inline gram expressions
     (slice length is clamped) and are kept by the dup-2gram filter
