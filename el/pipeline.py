@@ -67,6 +67,15 @@ class PipelineConfig:
     # scale; pipelines with a table-backed list call
     # el.textops.blocklist_filter directly.
     blocked_hosts: tuple[str, ...] | None = None
+    # C4 line-level cleaning gate (r5): rewrite each page's text to
+    # its prose lines (terminal punctuation, >= c4_min_line_words
+    # tokens, no "javascript") and drop pages failing the page rules
+    # (< c4_min_sentences sentences after cleaning, "lorem ipsum",
+    # '{'). Off by default; when on, null-text pages are dropped here
+    # (nothing to clean). Pure projection + filter, zero shuffle.
+    c4_line_clean: bool = False
+    c4_min_line_words: int = 5
+    c4_min_sentences: int = 3
 
 
 def dedup_latest(pages: DataFrame) -> DataFrame:
@@ -113,6 +122,21 @@ def hygiene_stage(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
             bl,
             host_col="_hyg_host",
         ).drop("_hyg_host")
+    if cfg.c4_line_clean:
+        # line-level rewrite + page verdict BEFORE the dedup window:
+        # pages the C4 rules drop never enter the shuffle, and the
+        # retained pages carry their cleaned prose into extraction.
+        # Verdict tells run on the ORIGINAL text (_c4_exprs contract).
+        from el.textops import _c4_exprs
+
+        _, _, clean, _, c4_pass = _c4_exprs(
+            F.col("text"), cfg.c4_min_line_words, cfg.c4_min_sentences
+        )
+        out = (
+            out.where(F.col("text").isNotNull())
+            .where(c4_pass)
+            .withColumn("text", clean)
+        )
     if cfg.canonical_url_dedup:
         w = Window.partitionBy("_curl").orderBy(
             F.col("warc_ts").desc(), F.xxhash64("html").asc()

@@ -2928,6 +2928,128 @@ def tx13_blocklist_filter(spark, sf_dir):
     return blocklist_filter(d, bl, host_col="host")
 
 
+def _c4_page_text_col() -> F.Column:
+    """C4-flavored multi-line page text synthesized from each
+    document's tokens (the _page_text_col pattern with c4_clean's
+    regimes): tokens re-flowed 8 per line; per (doc_id + line_idx)
+    moduli a line ends '.', ends '?', or has no terminal punctuation
+    (dropped), and some lines carry a ' JavaScript' token (dropped
+    case-insensitively); tail lines under 5 tokens exercise the word
+    floor. Per doc_id moduli a final 'Lorem Ipsum' sentence or a
+    curly-brace code line is appended to trip the page-level rules
+    independently of the line rules."""
+    from el.textops import tokens_of
+
+    toks = tokens_of(F.col("text"))
+    did = F.col("doc_id")
+    n_lines = F.floor((F.size(toks) + F.lit(7)) / F.lit(8)).cast("int")
+
+    def line(i):
+        k = did + i
+        js = F.when(k % 7 == 2, F.lit(" JavaScript")).otherwise(F.lit(""))
+        punct = (
+            F.when(k % 3 == 0, F.lit("."))
+            .when(k % 3 == 1, F.lit("?"))
+            .otherwise(F.lit(""))
+        )
+        return F.concat(
+            F.array_join(F.slice(toks, i * 8 + 1, 8), " "), js, punct
+        )
+
+    base = F.transform(F.sequence(F.lit(0), n_lines - 1), line)
+    empty = F.array().cast("array<string>")
+    lorem = F.when(
+        did % 11 == 3,
+        F.array(
+            F.lit("Neque porro quisquam est qui Lorem Ipsum dolor sit amet.")
+        ),
+    ).otherwise(empty)
+    brace = F.when(
+        did % 13 == 4, F.array(F.lit("window.config = { ads: true };"))
+    ).otherwise(empty)
+    return F.array_join(F.concat(base, lorem, brace), "\n")
+
+
+_C4_PAGE_TEXT_SQL = """
+    array_to_string(
+      list_transform(range((len(l) + 7) // 8), i ->
+        array_to_string(l[i*8+1 : i*8+8], ' ')
+        || (CASE WHEN (doc_id + i) % 7 = 2 THEN ' JavaScript'
+                 ELSE '' END)
+        || (CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+                 WHEN (doc_id + i) % 3 = 1 THEN '?'
+                 ELSE '' END))
+      || (CASE WHEN doc_id % 11 = 3
+           THEN ['Neque porro quisquam est qui Lorem Ipsum dolor sit amet.']
+           ELSE CAST([] AS VARCHAR[]) END)
+      || (CASE WHEN doc_id % 13 = 4
+           THEN ['window.config = { ads: true };']
+           ELSE CAST([] AS VARCHAR[]) END),
+    chr(10))
+"""
+
+_C4_LINE_WORDS_SQL = (
+    "len(list_filter(string_split_regex(lower(trim(x)), '[^a-z0-9]+'),"
+    " y -> len(y) > 0))"
+)
+
+
+@check(
+    "tx14_c4_clean",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, {t} AS l FROM documents
+      WHERE text IS NOT NULL AND len({t}) > 0
+    ), page AS (
+      SELECT doc_id, {page} AS text FROM tk
+    ), s AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM page
+    ), k AS (
+      SELECT doc_id, text,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             list_transform(list_filter(lines, x ->
+                 (ends_with(trim(x), '.') OR ends_with(trim(x), '!')
+                  OR ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
+                 AND {words} >= 5
+                 AND NOT contains(lower(trim(x)), 'javascript')),
+               x -> trim(x)) AS kept
+      FROM s
+    ), c AS (
+      SELECT doc_id, text, n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             -- DuckDB's array_to_string([]) is NULL, Spark's is ''
+             coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+      FROM k
+    ), n AS (
+      SELECT doc_id, text, n_lines, n_kept, clean_text,
+             CAST((len(clean_text) - len(replace(clean_text, '.', '')))
+                + (len(clean_text) - len(replace(clean_text, '!', '')))
+                + (len(clean_text) - len(replace(clean_text, '?', '')))
+                AS BIGINT) AS n_sentences
+      FROM c
+    )
+    SELECT doc_id, clean_text, n_lines, n_kept, n_sentences,
+           (n_sentences >= 3
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{{')) AS c4_pass
+    FROM n
+    """.format(t=_TOKS_SQL, page=_C4_PAGE_TEXT_SQL, words=_C4_LINE_WORDS_SQL),
+)
+def tx14_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (el.textops.c4_clean) over C4-flavored
+    synthesized page text (the tx11 dual-engine pattern): terminal
+    punctuation, word-floor, and javascript line rules plus the
+    lorem-ipsum / curly-brace page verdicts, with the cleaned text
+    itself compared byte-for-byte hash-exactly."""
+    from el.textops import c4_clean, tokens_of
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.size(tokens_of(F.col("text"))) > 0)
+    )
+    page = d.select("doc_id", _c4_page_text_col().alias("text"))
+    return c4_clean(page)
+
+
 @check(
     "j9_bloom_semi_orders",
     oracle="""

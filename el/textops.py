@@ -13,6 +13,9 @@ el.queries): lower -> split on '[^a-z0-9]+' -> drop empties.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -361,6 +364,100 @@ def gopher_rules(
         ellipsis_line_frac.alias("ellipsis_line_frac"),
         stop_hits.alias("n_stop_hits"),
         gopher_pass.alias("gopher_pass"),
+    )
+
+
+# C4 line-keep terminal punctuation (Raffel et al. 2020 §2.2: period,
+# exclamation mark, question mark, or end quotation mark).
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def _c4_exprs(text, min_line_words: int, min_sentences: int):
+    """The C4 rule set as pure column expressions, shared by the
+    analytics op (``c4_clean``) and the inline hygiene-stage gate —
+    returns (lines, kept, clean_text, n_sentences, c4_pass). The page
+    verdict's lorem-ipsum / curly-brace tells are evaluated on the
+    ORIGINAL text (a dropped code line must still condemn the page)."""
+    lines = F.split(text, "\n", -1)
+
+    def keep(line):
+        t = F.trim(line)
+        ends_ok = functools.reduce(
+            operator.or_, [t.endswith(p) for p in C4_TERMINAL]
+        )
+        return (
+            ends_ok
+            & (F.size(tokens_of(t)) >= min_line_words)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    # explicit single-arg lambda: transform would otherwise bind
+    # F.trim's optional (str, trimStr) two-param signature
+    kept = F.transform(F.filter(lines, keep), lambda l: F.trim(l))
+    clean = F.array_join(kept, "\n")
+
+    def n_char(col, ch):
+        return F.length(col) - F.length(F.replace(col, F.lit(ch)))
+
+    n_sentences = (
+        n_char(clean, ".") + n_char(clean, "!") + n_char(clean, "?")
+    ).cast("long")
+    c4_pass = (
+        (n_sentences >= min_sentences)
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+    return lines, kept, clean, n_sentences, c4_pass
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning...", §2.2) — the per-DOCUMENT rewrite
+    half of the rule family: ``gopher_rules`` (tx11) scores documents,
+    ``strip_repeated_chunks`` (dd10) removes cross-corpus boilerplate;
+    this keeps only the lines that look like prose. A line survives
+    iff (after trimming) it ends in terminal punctuation
+    (``C4_TERMINAL``), has at least ``min_line_words`` tokens (shared
+    spec), and does not contain the word "javascript"
+    (case-insensitive). Returns one row per non-null-text input:
+
+    - ``clean_text``: surviving lines, trimmed, re-joined with \\n;
+    - ``n_lines`` / ``n_kept``: line counts before/after the filter;
+    - ``n_sentences``: terminal-punctuation ('.', '!', '?') character
+      count over ``clean_text`` — the paper's sentence proxy;
+    - ``c4_pass``: the document-level verdict — ``n_sentences >=
+      min_sentences`` AND the page contains neither "lorem ipsum"
+      (case-insensitive) nor a curly brace '{' (the paper's code
+      tell). Failing pages are typically dropped; the verdict is a
+      column so callers compose it with the other hygiene gates.
+
+    The paper's remaining page rule — the "List of Dirty, Naughty,
+    Obscene..." bad-words list — is external data this sandbox (and
+    spec) forbids; the mechanism exists as ``blocklist_filter`` /
+    token gates, with the list a caller-supplied table.
+
+    Scale: a pure builtin-expression projection (split -> filter ->
+    transform -> array_join), whole-stage codegen, zero shuffle, no
+    Python. Counts are exact integers and the verdict a boolean, so
+    the DuckDB oracle (tx14) compares hash-exactly — including
+    ``clean_text`` byte-for-byte."""
+    text = F.col(text_col)
+    lines, kept, clean, n_sentences, c4_pass = _c4_exprs(
+        text, min_line_words, min_sentences
+    )
+    return df.where(text.isNotNull()).select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_sentences.alias("n_sentences"),
+        c4_pass.alias("c4_pass"),
     )
 
 

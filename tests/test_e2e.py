@@ -236,3 +236,43 @@ def test_hygiene_stage_short_docs_survive_filters(spark):
     )
     cfg = PipelineConfig(max_dup_2gram=0.2)
     assert hygiene_stage(pages, cfg).count() == 2
+
+
+def test_hygiene_c4_gate(spark):
+    """tx14 C4 line-clean gate in the hygiene stage (r5): off by
+    default (pass-through, text untouched), and when on each page's
+    text is rewritten to its prose lines while pages failing the page
+    rules (too few sentences, lorem ipsum, curly brace, null text)
+    drop before the dedup window."""
+    import datetime as dt
+
+    from el.pipeline import PipelineConfig, hygiene_stage
+
+    ts = dt.datetime(2026, 1, 1)
+    mk = lambda u, txt: (u, ts, b"h", txt, "en")  # noqa: E731
+    prose = (
+        "one two three four five six.\n"
+        "seven eight nine ten eleven twelve!\n"
+        "thirteen fourteen fifteen sixteen seventeen eighteen."
+    )
+    pages = spark.createDataFrame(
+        [
+            mk("http://a.org/1", prose + "\nclick here"),  # junk line cut
+            mk("http://a.org/2", prose + "\nwindow.cfg = { x: 1 };"),
+            mk("http://a.org/3", "too short a page to keep today."),
+            mk("http://a.org/4", None),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    # default OFF: pass-through, including the null-text row
+    assert hygiene_stage(pages, PipelineConfig()).count() == 4
+    kept = hygiene_stage(pages, PipelineConfig(c4_line_clean=True)).collect()
+    assert {r.url for r in kept} == {"http://a.org/1"}
+    assert kept[0].text == prose  # junk line removed, prose trimmed-joined
+    # threshold knob: one good sentence is enough when relaxed
+    relaxed = hygiene_stage(
+        pages, PipelineConfig(c4_line_clean=True, c4_min_sentences=1)
+    )
+    assert {r.url for r in relaxed.collect()} == {
+        "http://a.org/1", "http://a.org/3"
+    }

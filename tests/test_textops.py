@@ -476,3 +476,59 @@ def test_blocklist_filter_suffix_semantics(spark):
         host_suffix_chain(F.col("host")).alias("c")
     ).collect()[0]["c"]
     assert chain == ["deep.a.evil.com", "a.evil.com", "evil.com", "com"]
+
+
+def test_c4_clean_crafted(spark):
+    from el.textops import c4_clean
+
+    rows = [
+        # every line survives; 2 sentences only -> fails min_sentences
+        (1, "the quick brown fox jumps over dogs.\n"
+            "does the lazy dog mind the fox at all?"),
+        # 3 good sentences -> passes
+        (2, "one two three four five six.\n"
+            "seven eight nine ten eleven twelve!\n"
+            'he said "this line ends in a quote."'),
+        # line rules: no terminal punct / <5 words / javascript
+        (3, "this line has plenty of words but no terminal punct\n"
+            "short line here.\n"
+            "please enable JavaScript to view this content.\n"
+            "   this line survives with surrounding whitespace.   \n"
+            "another good line follows right after this one.\n"
+            "a third good sentence keeps the page alive today."),
+        # lorem ipsum kills the page even with good lines
+        (4, "one two three four five six.\n"
+            "seven eight nine ten eleven twelve.\n"
+            "standard Lorem Ipsum passage filler text goes here today."),
+        # curly brace kills the page
+        (5, "one two three four five six.\n"
+            "seven eight nine ten eleven twelve.\n"
+            "thirteen fourteen fifteen sixteen seventeen eighteen.\n"
+            "window.config = { ads: true };"),
+        (6, None),  # null text: no output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_clean(df).collect()}
+
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].n_kept == 2 and out[1].n_sentences == 2
+    assert not out[1].c4_pass
+    assert out[2].n_kept == 3 and out[2].c4_pass
+    # doc 3: only the 3 prose lines survive, trimmed
+    assert out[3].n_lines == 6 and out[3].n_kept == 3
+    assert out[3].clean_text.split("\n")[0] == (
+        "this line survives with surrounding whitespace."
+    )
+    assert out[3].c4_pass
+    assert out[4].n_kept == 3 and not out[4].c4_pass   # lorem ipsum
+    assert out[5].n_kept == 3 and not out[5].c4_pass   # curly brace
+    # the brace line itself was dropped at line level (ends in ';')
+    assert "{" not in out[5].clean_text
+
+    # threshold knobs
+    relaxed = {
+        r.doc_id: r
+        for r in c4_clean(df, min_line_words=3, min_sentences=2).collect()
+    }
+    assert relaxed[1].c4_pass                  # 2 sentences now enough
+    assert relaxed[3].n_kept == 4              # "short line here." back in
