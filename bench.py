@@ -86,6 +86,10 @@ HEADLINE_OPTIONAL = [
     "tx12_host_stats",
     "tx13_blocklist_filter",
     "ds6_decontaminated_split",
+    # late-r5: C4 line-level cleaning (scan-stage projection over the
+    # dual-engine-synthesized multi-line pages — pins the line-rule
+    # rewrite's wall next to the other tx-family hygiene ops)
+    "tx14_c4_clean",
 ]
 
 

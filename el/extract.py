@@ -215,3 +215,84 @@ def extract_links(
         "href",
         normalized_host(F.col("href")).alias("dst_host"),
     )
+
+
+# full <a ...href="X"...>TEXT</a> tag: group 1 = href, group 2 = the
+# anchor text (element-free inner text only — nested markup is the
+# real parser's job; the regex is valid in both Java regex and RE2)
+ANCHOR_RE = '<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchor_texts(
+    pages: DataFrame, html_col: str = "html", id_col: str = "url"
+) -> DataFrame:
+    """``(id, html)`` -> one row per anchor tag: ``(id, anchor_no,
+    href, dst_host, anchor_text)`` — the anchor-SURFACE companion to
+    ``extract_links``: the text a linking page chooses for its target
+    is the classic alias-evidence signal for entity linking (anchor
+    statistics as name priors: Cucerzan, EMNLP 2007; Milne & Witten,
+    CIKM 2008). ``anchor_no`` is the 0-based occurrence index in
+    source order; ``dst_host`` is normalized exactly like
+    extract_links (NULL for relative hrefs).
+
+    Same scale shape as extract_links: regexp_extract_all ->
+    posexplode -> per-match group extraction, all builtin expressions
+    in the scan stage — only (id, href, text) triples ever leave it,
+    never page bytes."""
+    from el.textops import normalized_host
+
+    src = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        src = src.cast("string")
+    exploded = pages.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(src, F.lit(ANCHOR_RE), F.lit(0))
+        ).alias("anchor_no", "_tag"),
+    )
+    href = F.regexp_extract(F.col("_tag"), ANCHOR_RE, 1)
+    return exploded.select(
+        id_col,
+        F.col("anchor_no").cast("int").alias("anchor_no"),
+        href.alias("href"),
+        normalized_host(href).alias("dst_host"),
+        F.regexp_extract(F.col("_tag"), ANCHOR_RE, 2).alias("anchor_text"),
+    )
+
+
+def anchor_alias_stats(
+    anchors: DataFrame,
+    host_col: str = "dst_host",
+    text_col: str = "anchor_text",
+    src_col: str = "url",
+) -> DataFrame:
+    """Anchor-alias evidence table over ``extract_anchor_texts``
+    output: ``(dst_host, alias, n_links, n_src_pages)`` where
+    ``alias`` is the whitespace-collapsed lowercased anchor surface.
+    This is the web-scale name-prior table entity linkers rank
+    candidates with — how often, and from how many distinct pages,
+    a surface form points at a host. Relative links (NULL host) and
+    empty surfaces carry no alias evidence and are dropped.
+
+    One hash aggregate on (host, alias): partial aggregation map-side;
+    the count-distinct of source pages rides Spark's two-phase
+    distinct-agg rewrite. At crawl scale cardinality is bounded by
+    distinct (host, surface) pairs — far under the anchor-occurrence
+    count the scan stage emits."""
+    alias = F.lower(
+        F.trim(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    )
+    return (
+        anchors.where(F.col(host_col).isNotNull())
+        .select(
+            F.col(host_col).alias("dst_host"),
+            alias.alias("alias"),
+            F.col(src_col).alias("_src"),
+        )
+        .where(F.col("alias") != "")
+        .groupBy("dst_host", "alias")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.count_distinct(F.col("_src")).cast("long").alias("n_src_pages"),
+        )
+    )

@@ -2807,6 +2807,119 @@ def g0_extract_links(spark, sf_dir):
     return extract_links(pages, html_col="page_html", id_col="doc_id")
 
 
+_G2_TAG_RE_SQL = r"""'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'"""
+
+
+@check(
+    "g2_anchor_alias_stats",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+        '<html><body>'
+        || '<a class="m" href="https://WWW.Site'
+           || CAST((doc_id*13)%97 AS VARCHAR) || '.example.org:443/p/'
+           || CAST(doc_id AS VARCHAR) || '">Site  '
+           || CAST(doc_id%7 AS VARCHAR) || '  Official</a>'
+        || '<a href="/rel/' || CAST(doc_id%5 AS VARCHAR)
+           || '">read  more</a>'
+        || '<a href="http://em.example.net/e"></a>'
+        || CASE WHEN doc_id%3 = 0 THEN
+             '<a href="http://cdn' || CAST(doc_id%11 AS VARCHAR)
+             || '.example.net/a">'
+             || (CASE WHEN doc_id%2 = 0 THEN 'CDN ' ELSE 'cdn ' END)
+             || CAST(doc_id%4 AS VARCHAR) || '</a>'
+           ELSE '' END
+        || CASE WHEN doc_id%4 = 1 THEN
+             '<a class="m" href="https://WWW.Site'
+             || CAST((doc_id*13)%97 AS VARCHAR) || '.example.org:443/p/'
+             || CAST(doc_id AS VARCHAR) || '">Site  '
+             || CAST(doc_id%7 AS VARCHAR) || '  Official</a>'
+           ELSE '' END
+        || '</body></html>' AS page_html
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(page_html, {re}, 0)) AS tag
+      FROM h
+    ), e AS (
+      SELECT doc_id, regexp_extract(tag, {re}, 1) AS href,
+             regexp_extract(tag, {re}, 2) AS anchor
+      FROM m
+    ), n AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(
+                 lower(regexp_extract(href,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                 '^www\.', ''), ':(80|443)$', '') AS host,
+             lower(trim(regexp_replace(anchor, '\s+', ' ', 'g'))) AS alias
+      FROM e
+    )
+    SELECT host AS dst_host, alias,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_pages
+    FROM n
+    WHERE host IS NOT NULL AND host <> '' AND alias <> ''
+    GROUP BY dst_host, alias
+    """.replace("{re}", _G2_TAG_RE_SQL),
+)
+def g2_anchor_alias_stats(spark, sf_dir):
+    """Anchor-alias evidence rollup (el.extract.extract_anchor_texts
+    -> anchor_alias_stats) — the classic entity-linking name-prior
+    table — over anchor markup deterministically synthesized from
+    doc_id on BOTH engines (the g0 pattern, with anchor TEXT): a
+    shared 'Site K Official' alias whose double spaces and mixed case
+    exercise whitespace-collapse + lowercasing, a relative link
+    (NULL host, dropped), an empty-text anchor (dropped), a CDN
+    anchor whose 'CDN '/'cdn ' case variants must merge, and a
+    same-page duplicate anchor so n_links > n_src_pages somewhere.
+    Per-(host, alias) link and distinct-source counts compared
+    hash-exactly."""
+    from el.extract import anchor_alias_stats, extract_anchor_texts
+
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    a_tag = F.concat(
+        F.lit('<a class="m" href="https://WWW.Site'),
+        s((did * 13) % 97),
+        F.lit(".example.org:443/p/"),
+        s(did),
+        F.lit('">Site  '),
+        s(did % 7),
+        F.lit("  Official</a>"),
+    )
+    page_html = F.concat(
+        F.lit("<html><body>"),
+        a_tag,
+        F.lit('<a href="/rel/'),
+        s(did % 5),
+        F.lit('">read  more</a>'),
+        F.lit('<a href="http://em.example.net/e"></a>'),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<a href="http://cdn'),
+                s(did % 11),
+                F.lit('.example.net/a">'),
+                F.when(did % 2 == 0, F.lit("CDN ")).otherwise(F.lit("cdn ")),
+                s(did % 4),
+                F.lit("</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 4 == 1, a_tag).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", page_html.alias("page_html")
+    )
+    return anchor_alias_stats(
+        extract_anchor_texts(pages, html_col="page_html", id_col="doc_id"),
+        src_col="doc_id",
+    )
+
+
 @check(
     "tx12_host_stats",
     oracle="""

@@ -132,3 +132,34 @@ def test_extract_links_feeds_pagerank(spark):
     ranks = {r.node: r["rank"] for r in pagerank(edges, n_iter=20).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert max(ranks, key=ranks.get) == "a.com"
+
+
+def test_anchor_alias_stats_crafted(spark):
+    """g2: anchor surfaces normalize (whitespace collapse + lowercase)
+    and aggregate into per-(host, alias) evidence; relative and
+    empty-text anchors carry none; a page linking the same target
+    twice counts 2 links but 1 source page."""
+    from el.extract import anchor_alias_stats, extract_anchor_texts
+
+    rows = [
+        ("u1", '<html><a href="https://www.acme.com/x">ACME  Corp</a>'
+               '<a class="z" href="https://acme.com:443/y">acme corp</a>'
+               "</html>"),                              # 2 links, 1 page
+        ("u2", '<a href="http://ACME.com/z">Acme\tCorp</a>'
+               '<a href="/rel">Acme Corp</a>'           # relative: dropped
+               '<a href="https://other.org/"></a>'),    # empty: dropped
+        ("u3", '<a href="https://other.org/p"> Other  Site </a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    anchors = extract_anchor_texts(df)
+    # extraction keeps everything, with source-order index
+    a1 = {(r.anchor_no, r.dst_host, r.anchor_text)
+          for r in anchors.where(F.col("url") == "u1").collect()}
+    assert a1 == {(0, "acme.com", "ACME  Corp"), (1, "acme.com", "acme corp")}
+
+    stats = {(r.dst_host, r.alias): (r.n_links, r.n_src_pages)
+             for r in anchor_alias_stats(anchors).collect()}
+    assert stats == {
+        ("acme.com", "acme corp"): (3, 2),   # u1 twice + u2 once
+        ("other.org", "other site"): (1, 1),  # trimmed + collapsed
+    }
