@@ -72,3 +72,13 @@ def test_labels_deterministic_and_sane(spark):
     neg = len(r1) - pos
     assert pos > 50 and neg >= pos
     assert all(a < b for a, b, _, _ in r1)
+
+
+def test_bench_steal_probe():
+    """bench._steal_frac returns a sane fraction (or None on platforms
+    without the /proc/stat steal column) — the quiet-gate's starvation
+    signal must never crash or return junk."""
+    import bench
+
+    s = bench._steal_frac(interval=0.05)
+    assert s is None or 0.0 <= s <= 1.0
