@@ -353,3 +353,42 @@ def test_blocklist_filter_broadcasts_never_shuffles_corpus(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "_bl_host" in line, line
+
+
+def test_c4_clean_is_shuffle_free_projection(spark):
+    """tx14 must stay in the scan stage: a pure builtin-expression
+    projection with no Exchange and no Python/Arrow boundary, and the
+    c4_line_clean hygiene knob must not add a shuffle either."""
+    from el.fixtures import gen_web_pages
+    from el.pipeline import PipelineConfig, hygiene_stage
+    from el.textops import c4_clean
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(c4_clean(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    pages = gen_web_pages(spark, 200)
+    plan2 = _plan(hygiene_stage(pages, PipelineConfig(c4_line_clean=True)))
+    assert "Exchange" not in plan2
+
+
+def test_anchor_alias_stats_aggregate_plan_shape(spark):
+    """g2's only shuffles are the two hash-aggregate exchanges of
+    Spark's distinct-agg rewrite (partial on (host, alias, src), then
+    (host, alias)) — anchor extraction is a scan-stage projection (no
+    Python), and map-side partial aggregation precedes the first
+    exchange, so the wire carries pre-combined triples, never raw
+    anchor occurrences."""
+    from el.extract import anchor_alias_stats, extract_anchor_texts
+
+    pages = spark.createDataFrame(
+        [("u1", '<a href="https://a.com/x">A Corp</a>')],
+        "url string, html string",
+    )
+    df = anchor_alias_stats(extract_anchor_texts(pages))
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # map-side combine before the first exchange
+    assert plan.index("partial_count") > plan.index("Exchange")
