@@ -3363,9 +3363,12 @@ WINDOW_CORE = [
 # dd5b, dd7, dd8, ann1, tx1-tx4, st6, er2, lk1, ds1 (dd5's slot went
 # to the late-r5 g1_pagerank, see below).  Oracled checks without a
 # driver row after this window: ds2_pack_sequences plus the late-r5
-# dd10/ds5 (15 slots, 18 never-rowed candidates); each is verified by
-# the identical DuckDB comparison every pytest run
-# (tests/test_oracle_queries.py).
+# additions (dd10, ds5, ds6, g0, g2, tx11-tx14) — more never-rowed
+# candidates than the 15 rotating slots; each is verified by the
+# identical DuckDB comparison every pytest run
+# (tests/test_oracle_queries.py), and WINDOW_HISTORY.md audits which
+# round each check last held a slot so future rotations pick the
+# most-starved first.
 WINDOW_R5 = [
     "er1_blocking_reduction",
     # crawl-hygiene / text-analysis family
