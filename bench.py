@@ -93,6 +93,10 @@ HEADLINE_OPTIONAL = [
     # one (host, alias) hash aggregate)
     "tx14_c4_clean",
     "g2_anchor_alias_stats",
+    # late-r5: deterministic epoch shuffle (one hash exchange +
+    # per-shard sort over the documents table — pins the training
+    # data-loader layout's wall)
+    "ds7_epoch_shuffle",
 ]
 
 
@@ -217,12 +221,24 @@ def _mm_pipeline(spark, sf_dir):
     )
 
 
+def _mm7_audio_neardup_20k(spark, sf_dir):
+    """Audio fingerprint + banded near-dup at 20k AUD1 blobs (the
+    registry mm7 check runs a 300-blob correctness version with
+    planted gain-scaled copies; this pins the decode->envelope->band
+    kernel's wall at a bench-scale blob count — the decode pass
+    dominates, only (id, 8-byte sketch) shuffles)."""
+    from el.multimodal import audio_neardup_pairs, gen_audio_blobs
+
+    return audio_neardup_pairs(gen_audio_blobs(spark, 20_000))
+
+
 # benched with non-REGISTRY configs (production regime vs oracle regime)
 EXTRA = {
     "dd5b_embedding_neardup_lsh_prod": _dd5b_prod,
     "ann3_ivf_topk_prefit": _ann3_prefit,
     "lm1_bigram_rarity_prefit": _lm1_prefit,
     "mm_decode_resize_features_20k": _mm_pipeline,
+    "mm7_audio_neardup_20k": _mm7_audio_neardup_20k,
 }
 
 PAGES_PER_SF = 60_000  # synthetic corpus size per unit sf
@@ -357,6 +373,32 @@ def _steal_frac(interval: float = 1.0) -> float | None:
     return (d[7] / tot) if tot > 0 else 0.0
 
 
+def _stat_snap() -> list[int] | None:
+    """Raw cumulative /proc/stat cpu counters (jiffies since boot),
+    for whole-run steal accounting."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = list(map(int, parts[1:]))
+        return vals if len(vals) >= 8 else None
+    except (OSError, ValueError):
+        return None
+
+
+def _steal_frac_between(a: list[int] | None, b: list[int] | None) -> float | None:
+    """Steal fraction over the full interval between two _stat_snap()
+    snapshots. The 1-second start/end samples CANNOT see a steal
+    episode that begins after warm-up and drains before the final
+    stamp (observed: a 168 s run with steal_frac_start == end == 0.0
+    whose Python-kernel entries ran 3-10x their quiet walls); the
+    cumulative counters can."""
+    if a is None or b is None:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d)
+    return (d[7] / tot) if tot > 0 else 0.0
+
+
 def _defer_under_load() -> dict:
     """Hold the bench start while the box is busy or being starved
     (VERDICT r4 #2/#3: a pressured window recorded 1.5-2.5x
@@ -402,6 +444,7 @@ def main() -> None:
     # box-state stamp (BASELINE.md protocol), taken BEFORE the JVM
     # exists — once warm-up runs, loadavg measures the bench itself
     load_start = tuple(round(x, 2) for x in os.getloadavg())
+    stat_start = _stat_snap()
 
     from el.conf import get_spark
     from el.queries import REGISTRY
@@ -486,6 +529,15 @@ def main() -> None:
                 "steal_frac_end": (
                     round(s, 4)
                     if (s := _steal_frac()) is not None
+                    else None
+                ),
+                # cumulative steal over the WHOLE run — the stamp that
+                # catches mid-run starvation episodes the 1 s start/end
+                # samples miss entirely
+                "steal_frac_run": (
+                    round(sr, 4)
+                    if (sr := _steal_frac_between(stat_start, _stat_snap()))
+                    is not None
                     else None
                 ),
                 **load_stamp,

@@ -362,3 +362,51 @@ def decontaminated_split(
         routed.alias("split"),
         is_cont.alias("contaminated"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int = 0,
+    n_shards: int = 1024,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: a fresh but reproducible
+    permutation of the corpus per epoch, laid out as ``(shard, pos)``
+    — the physical form a data loader streams (readers pull shards in
+    any order; rows within a shard are already permuted, so global
+    read order is a valid shuffle without any global sort).
+
+    Both the shard and the within-shard order derive from
+    ``md5(key ':' epoch ':' seed)`` — cross-engine-stable primitives
+    only (the ds1/ds3 discipline), so a SQL oracle reproduces the
+    exact permutation and the shuffle is a pure function of
+    (key, epoch, seed): re-runs, retries, and resumes see the same
+    order, and bumping ``epoch`` gives an independent permutation.
+    This is the property ``orderBy(rand())`` lacks (non-reproducible
+    across retries — a task retry mid-epoch would silently re-permute
+    its partition) and ``df.sample``/``shuffle`` cannot give at all.
+
+    Scale shape: exactly ONE hash exchange on ``shard`` + a per-shard
+    sort (the window is partitioned, never global). Size ``n_shards``
+    so a shard's rows fit one task comfortably (corpus_rows /
+    n_shards ~ a few hundred MB at 100 TB); pos is dense 0..k-1
+    within each shard, so ``(shard, pos)`` ranges shard cleanly into
+    fixed-size training files."""
+    sk = F.md5(
+        F.concat(
+            F.col(key_col).cast("string"),
+            F.lit(f":{int(epoch)}:{seed}"),
+        )
+    )
+    shard = (
+        F.conv(F.substring(sk, 1, 8), 16, 10).cast("long")
+        % int(n_shards)
+    )
+    w = Window.partitionBy("shard").orderBy("_sk", key_col)
+    return (
+        df.withColumn("_sk", sk)
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .drop("_sk")
+    )

@@ -346,6 +346,97 @@ def image_neardup_pairs(
     )
 
 
+# -- audio fingerprinting + audio near-dup (mm7) -------------------------
+
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType(), False),
+        T.StructField("afp", T.LongType(), True),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+
+def afp_py(x: np.ndarray, n_bits: int = 64) -> int:
+    """64-bit audio fingerprint: the dHash idea applied to the energy
+    envelope (Haitsma-Kalker-style sign-of-delta bits). The stream is
+    cut into ``n_bits + 1`` equal-length frames by index math; bit i
+    is set iff energy(frame[i+1]) > energy(frame[i]), packed MSB-
+    first. Invariant to uniform gain (scaling every sample scales
+    every frame energy by the same factor — the deltas keep their
+    signs), which is exactly the re-encode/normalize transform that
+    makes byte-level dedup miss audio copies. Deterministic: frame
+    boundaries are integer index math and each frame's energy is a
+    fixed-order float64 sum over a contiguous slice. Returns signed
+    int64 (LongType). Raises ValueError when the stream is too short
+    to frame. Pure function shared by the Spark kernel and the pytest
+    parity reference."""
+    n_frames = n_bits + 1
+    if x.size < n_frames:
+        raise ValueError("stream too short to fingerprint")
+    edges = (np.arange(n_frames + 1) * x.size) // n_frames
+    sq = np.concatenate(([0.0], np.cumsum(x.astype(np.float64) ** 2)))
+    energy = (sq[edges[1:]] - sq[edges[:-1]]) / np.diff(edges)
+    bits = (energy[1:] > energy[:-1]).astype(np.uint8)
+    word = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return int(np.uint64(word).astype(np.int64))
+
+
+def audio_fingerprints(blobs: DataFrame, n_bits: int = 64) -> DataFrame:
+    """(blob_id, afp, valid) in one vectorized mapInPandas pass —
+    decode + envelope + sign bits stay inside the Arrow batch;
+    malformed/too-short blobs yield (afp=NULL, valid=false), never an
+    executor crash."""
+    if n_bits != 64:
+        raise ValueError("afp packs exactly 64 bits (LongType sketch)")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for bid, content in zip(pdf["blob_id"], pdf["content"]):
+                try:
+                    _, x = decode_samples(content)
+                    rows.append((int(bid), afp_py(x, n_bits), True))
+                except ValueError:
+                    rows.append((int(bid), None, False))
+            yield pd.DataFrame(rows, columns=["blob_id", "afp", "valid"])
+
+    return blobs.select("blob_id", "content").mapInPandas(
+        gen, schema=AFP_SCHEMA
+    )
+
+
+def audio_neardup_pairs(
+    blobs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate audio pairs: energy-envelope fingerprint -> the
+    same 4x16-band + JVM-popcount verify core as text SimHash and
+    image dHash (el.dedup.hamming_band_pairs — complete for
+    max_hamming <= 3). Completes the multimodal leg of the dedup
+    stack: gain-normalized / re-encoded copies keep Hamming(afp)
+    small while independent streams land ~32 bits apart.
+
+    ``max_bucket`` defaults to None for the same reason as mm6:
+    envelope sketches have no Zipfian hot keys — a hot band IS a
+    duplicate cluster. Scale: after the one decode pass only
+    (id, 8-byte sketch) shuffles; samples never leave the scan
+    stage."""
+    from el.dedup import hamming_band_pairs
+
+    h = audio_fingerprints(blobs).where(F.col("valid")).select(
+        "blob_id", "afp"
+    )
+    return hamming_band_pairs(
+        h,
+        hash_col="afp",
+        id_col="blob_id",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
 # -- video frame sampling (VID1; UDTF-shaped 1 -> N) ---------------------
 
 VID_MAGIC = b"VID1"

@@ -2052,6 +2052,58 @@ def mm5_audio_features(spark, sf_dir):
     return audio_features(blobs)
 
 
+@check("mm7_audio_neardup", oracle=None)  # binary kernel, Spark-side only
+def mm7_audio_neardup(spark, sf_dir):
+    """Audio near-dup pairs: energy-envelope fingerprint -> the shared
+    4x16-band + popcount core (el.multimodal.audio_neardup_pairs).
+    Planted near-dups: every 10th blob is re-encoded at half gain, the
+    re-encode/normalize transform the fingerprint is invariant to, so
+    the pair list is non-empty and deterministic; completeness vs
+    brute-force truth is pinned in tests/test_multimodal.py (no SQL
+    engine can express the decode)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from el.multimodal import (
+        AUD_MAGIC,
+        audio_neardup_pairs,
+        decode_samples,
+        gen_audio_blobs,
+    )
+
+    blobs = gen_audio_blobs(spark, 300)
+
+    def regain(batches):
+        for pdf in batches:
+            out = []
+            for bid, mt, content in zip(
+                pdf["blob_id"], pdf["media_type"], pdf["content"]
+            ):
+                out.append((int(bid), mt, bytes(content)))
+                if bid % 10 == 0:
+                    sr, x = decode_samples(content)
+                    half = (
+                        (x * 32768.0).astype(np.int32) // 2
+                    ).astype("<i2")
+                    out.append(
+                        (
+                            int(bid) + 100_000,
+                            mt,
+                            AUD_MAGIC
+                            + struct.pack("<II", sr, half.size)
+                            + half.tobytes(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["blob_id", "media_type", "content"]
+            )
+
+    corpus = blobs.mapInPandas(regain, schema=blobs.schema)
+    return audio_neardup_pairs(corpus, max_hamming=3)
+
+
 _LINK_NORM = "trim(regexp_replace(lower(p_name), '[^a-z0-9 ]', '', 'g'))"
 
 
@@ -2335,6 +2387,36 @@ def ds6_decontaminated_split(spark, sf_dir):
         {"train": 0.8, "val": 0.1, "test": 0.1},
         n=5,
         threshold=3,
+    )
+
+
+@check(
+    "ds7_epoch_shuffle",
+    oracle="""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+                  PARTITION BY shard ORDER BY sk, doc_id) - 1
+                AS INT) AS pos
+    FROM (SELECT doc_id,
+                 md5(CAST(doc_id AS VARCHAR) || ':1:') AS sk,
+                 CAST(CAST('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR) || ':1:'), 1, 8)
+                      AS BIGINT) % 64 AS INT) AS shard
+          FROM documents)
+    """,
+)
+def ds7_epoch_shuffle(spark, sf_dir):
+    """Deterministic training-epoch shuffle (el.datasets.
+    epoch_shuffle): every epoch a fresh reproducible permutation as
+    (shard, pos) — md5(key:epoch:seed) drives both the shard and the
+    within-shard order, so DuckDB reproduces the exact permutation
+    (value-hash checked, not just counts). One hash exchange on
+    shard + per-shard sort; no global sort, no rand()."""
+    from el.datasets import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(d, "doc_id", epoch=1, n_shards=64).select(
+        "doc_id", "shard", "pos"
     )
 
 

@@ -335,3 +335,49 @@ def test_decontaminated_split_routing(spark):
         for r in strict
         if r.doc_id != 40
     )
+
+
+def test_epoch_shuffle_permutation_properties(spark):
+    from el.datasets import epoch_shuffle
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    out = epoch_shuffle(df, "k", epoch=0, n_shards=16).collect()
+    # a permutation: every key exactly once, pos dense 0..k-1 per shard
+    assert sorted(r.k for r in out) == list(range(500))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(16))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+
+    # deterministic: same (key, epoch, seed) -> same (shard, pos),
+    # regardless of input partitioning
+    again = {
+        (r.k): (r.shard, r.pos)
+        for r in epoch_shuffle(
+            df.repartition(7), "k", epoch=0, n_shards=16
+        ).collect()
+    }
+    assert {r.k: (r.shard, r.pos) for r in out} == again
+
+    # a new epoch is a DIFFERENT permutation (fresh hash namespace)
+    e1 = {
+        r.k: (r.shard, r.pos)
+        for r in epoch_shuffle(df, "k", epoch=1, n_shards=16).collect()
+    }
+    assert e1 != {r.k: (r.shard, r.pos) for r in out}
+
+
+def test_epoch_shuffle_single_hash_exchange(spark):
+    from el.datasets import epoch_shuffle
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    plan = (
+        epoch_shuffle(df, "k", epoch=2, n_shards=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly one exchange: hash partitioning on shard for the
+    # per-shard window sort — never a global (range) sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan

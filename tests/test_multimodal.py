@@ -292,3 +292,111 @@ def test_image_neardup_pairs_match_bruteforce_truth(spark):
         for r in image_neardup_pairs(df.repartition(1), max_hamming=3).collect()
     }
     assert got1 == got
+
+
+def _aud1(sr: int, samples) -> bytearray:
+    import struct
+
+    import numpy as np
+
+    from el.multimodal import AUD_MAGIC
+
+    x = np.asarray(samples, dtype="<i2")
+    return bytearray(
+        AUD_MAGIC + struct.pack("<II", sr, x.size) + x.tobytes()
+    )
+
+
+def test_afp_spark_matches_independent_reference(spark):
+    import numpy as np
+
+    from el.multimodal import audio_fingerprints, afp_py, decode_samples
+
+    rng_rows = []
+    for i in range(5):
+        # deterministic pseudo-noise, no RNG state
+        x = (((np.arange(700) * (i * 7919 + 104729)) % 65536) - 32768).astype(
+            "<i2"
+        )
+        rng_rows.append((i, "audio", _aud1(8000, x)))
+    df = spark.createDataFrame(
+        rng_rows, "blob_id long, media_type string, content binary"
+    )
+    got = {r.blob_id: r.afp for r in audio_fingerprints(df).collect()}
+    for i, _, content in rng_rows:
+        _, x = decode_samples(content)
+        # independent reference: explicit per-frame mean-of-squares +
+        # shift-or bit pack (no cumsum, no packbits)
+        n_frames = 65
+        edges = [(k * x.size) // n_frames for k in range(n_frames + 1)]
+        energy = [
+            float(np.mean(x[edges[k] : edges[k + 1]] ** 2))
+            for k in range(n_frames)
+        ]
+        word = 0
+        for k in range(64):
+            word = (word << 1) | int(energy[k + 1] > energy[k])
+        expect = int(np.uint64(word).astype(np.int64))
+        assert got[i] == expect == afp_py(x)
+
+
+def test_afp_invalid_and_short_blobs_flagged(spark):
+    from el.multimodal import audio_fingerprints
+
+    rows = [
+        (1, "audio", bytearray(b"NOPE")),
+        (2, "audio", _aud1(8000, list(range(10)))),  # < 65 samples
+        (3, "audio", _aud1(8000, [(k * 37) % 100 - 50 for k in range(200)])),
+    ]
+    df = spark.createDataFrame(
+        rows, "blob_id long, media_type string, content binary"
+    )
+    got = {r.blob_id: (r.valid, r.afp) for r in audio_fingerprints(df).collect()}
+    assert got[1] == (False, None)
+    assert got[2] == (False, None)
+    assert got[3][0] is True and got[3][1] is not None
+
+
+def test_audio_neardup_pairs_match_bruteforce_truth(spark):
+    import numpy as np
+
+    from el.multimodal import afp_py, audio_neardup_pairs, decode_samples
+
+    streams = {}
+    for i in range(8):
+        streams[i] = (
+            ((np.arange(2048) * (i * 2654435761 + 40503)) % 65536) - 32768
+        ).astype("<i2")
+    # planted near-dup: exact halving scales every frame energy by
+    # ~0.25 uniformly -> envelope delta signs survive (gain invariance)
+    streams[8] = (streams[0].astype(np.int32) // 2).astype("<i2")
+    rows = [(i, "audio", _aud1(8000, x)) for i, x in streams.items()]
+    rows.append((99, "audio", bytearray(b"NOPE")))
+    df = spark.createDataFrame(
+        rows, "blob_id long, media_type string, content binary"
+    ).repartition(5)
+
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in audio_neardup_pairs(df, max_hamming=3).collect()
+    }
+    hashes = {
+        i: afp_py(decode_samples(bytes(_aud1(8000, x)))[1])
+        for i, x in streams.items()
+    }
+    truth = set()
+    ids = sorted(hashes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ham = bin((hashes[a] ^ hashes[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if ham <= 3:
+                truth.add((a, b, ham))
+    assert (0, 8) in {(a, b) for a, b, _ in truth}  # planted pair exists
+    assert got == truth  # banding complete at <=3, verify exact
+
+    got1 = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in audio_neardup_pairs(df.repartition(1), max_hamming=3).collect()
+    }
+    assert got1 == got
