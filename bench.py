@@ -97,6 +97,11 @@ HEADLINE_OPTIONAL = [
     # per-shard sort over the documents table — pins the training
     # data-loader layout's wall)
     "ds7_epoch_shuffle",
+    # late-r5: the two-signal entity linker — el1 pins the anchor
+    # extraction -> prior -> broadcast linking join wall, el2 the
+    # candidate x profile JVM-cosine re-rank
+    "el1_alias_prior_linking",
+    "el2_context_linking",
 ]
 
 

@@ -2892,6 +2892,48 @@ def g0_extract_links(spark, sf_dir):
 _G2_TAG_RE_SQL = r"""'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'"""
 
 
+def _g2_page_html():
+    """The g2/el1 synthesized anchor corpus as a Spark Column over
+    doc_id (the dual-engine pattern: the matching SQL lives in the g2
+    and el1 oracle strings). Shared so the el1 linking check links
+    mentions against exactly the alias evidence g2 verifies."""
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    a_tag = F.concat(
+        F.lit('<a class="m" href="https://WWW.Site'),
+        s((did * 13) % 97),
+        F.lit(".example.org:443/p/"),
+        s(did),
+        F.lit('">Site  '),
+        s(did % 7),
+        F.lit("  Official</a>"),
+    )
+    return F.concat(
+        F.lit("<html><body>"),
+        a_tag,
+        F.lit('<a href="/rel/'),
+        s(did % 5),
+        F.lit('">read  more</a>'),
+        F.lit('<a href="http://em.example.net/e"></a>'),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<a href="http://cdn'),
+                s(did % 11),
+                F.lit('.example.net/a">'),
+                F.when(did % 2 == 0, F.lit("CDN ")).otherwise(F.lit("cdn ")),
+                s(did % 4),
+                F.lit("</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 4 == 1, a_tag).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+
 @check(
     "g2_anchor_alias_stats",
     oracle=r"""
@@ -2958,48 +3000,191 @@ def g2_anchor_alias_stats(spark, sf_dir):
     hash-exactly."""
     from el.extract import anchor_alias_stats, extract_anchor_texts
 
-    did = F.col("doc_id")
-
-    def s(c):
-        return c.cast("string")
-
-    a_tag = F.concat(
-        F.lit('<a class="m" href="https://WWW.Site'),
-        s((did * 13) % 97),
-        F.lit(".example.org:443/p/"),
-        s(did),
-        F.lit('">Site  '),
-        s(did % 7),
-        F.lit("  Official</a>"),
-    )
-    page_html = F.concat(
-        F.lit("<html><body>"),
-        a_tag,
-        F.lit('<a href="/rel/'),
-        s(did % 5),
-        F.lit('">read  more</a>'),
-        F.lit('<a href="http://em.example.net/e"></a>'),
-        F.when(
-            did % 3 == 0,
-            F.concat(
-                F.lit('<a href="http://cdn'),
-                s(did % 11),
-                F.lit('.example.net/a">'),
-                F.when(did % 2 == 0, F.lit("CDN ")).otherwise(F.lit("cdn ")),
-                s(did % 4),
-                F.lit("</a>"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when(did % 4 == 1, a_tag).otherwise(F.lit("")),
-        F.lit("</body></html>"),
-    )
     pages = _t(spark, sf_dir, "documents").select(
-        "doc_id", page_html.alias("page_html")
+        "doc_id", _g2_page_html().alias("page_html")
     )
     return anchor_alias_stats(
         extract_anchor_texts(pages, html_col="page_html", id_col="doc_id"),
         src_col="doc_id",
     )
+
+
+@check(
+    "el1_alias_prior_linking",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+        '<html><body>'
+        || '<a class="m" href="https://WWW.Site'
+           || CAST((doc_id*13)%97 AS VARCHAR) || '.example.org:443/p/'
+           || CAST(doc_id AS VARCHAR) || '">Site  '
+           || CAST(doc_id%7 AS VARCHAR) || '  Official</a>'
+        || '<a href="/rel/' || CAST(doc_id%5 AS VARCHAR)
+           || '">read  more</a>'
+        || '<a href="http://em.example.net/e"></a>'
+        || CASE WHEN doc_id%3 = 0 THEN
+             '<a href="http://cdn' || CAST(doc_id%11 AS VARCHAR)
+             || '.example.net/a">'
+             || (CASE WHEN doc_id%2 = 0 THEN 'CDN ' ELSE 'cdn ' END)
+             || CAST(doc_id%4 AS VARCHAR) || '</a>'
+           ELSE '' END
+        || CASE WHEN doc_id%4 = 1 THEN
+             '<a class="m" href="https://WWW.Site'
+             || CAST((doc_id*13)%97 AS VARCHAR) || '.example.org:443/p/'
+             || CAST(doc_id AS VARCHAR) || '">Site  '
+             || CAST(doc_id%7 AS VARCHAR) || '  Official</a>'
+           ELSE '' END
+        || '</body></html>' AS page_html
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(page_html, {re}, 0)) AS tag
+      FROM h
+    ), e AS (
+      SELECT doc_id, regexp_extract(tag, {re}, 1) AS href,
+             regexp_extract(tag, {re}, 2) AS anchor
+      FROM m
+    ), n AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(
+                 lower(regexp_extract(href,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                 '^www\.', ''), ':(80|443)$', '') AS host,
+             lower(trim(regexp_replace(anchor, '\s+', ' ', 'g'))) AS alias
+      FROM e
+    ), s AS (
+      SELECT host AS entity, alias, CAST(count(*) AS BIGINT) AS n_links
+      FROM n WHERE host IS NOT NULL AND host <> '' AND alias <> ''
+      GROUP BY entity, alias
+    ), p AS (
+      SELECT alias, entity, n_links,
+             CAST(sum(n_links) OVER (PARTITION BY alias) AS BIGINT)
+               AS alias_total
+      FROM s
+    ), men AS (
+      SELECT doc_id AS mention_id,
+             CASE WHEN doc_id%13 = 0 THEN
+                    'no such alias ' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id%2 = 0 THEN
+                    'SITE  ' || CAST(doc_id%7 AS VARCHAR) || ' official'
+                  ELSE 'cDn ' || CAST(doc_id%4 AS VARCHAR) END AS surface
+      FROM documents
+    ), nm AS (
+      SELECT mention_id,
+             lower(trim(regexp_replace(surface, '\s+', ' ', 'g'))) AS msurf
+      FROM men
+    ), c AS (
+      SELECT mention_id, p.alias, p.entity, p.n_links, p.alias_total,
+             p.n_links / p.alias_total AS prior,
+             row_number() OVER (PARTITION BY mention_id
+                                ORDER BY p.n_links DESC, p.entity) AS rnk
+      FROM nm JOIN p ON nm.msurf = p.alias
+    )
+    SELECT mention_id, alias, entity, n_links, alias_total, prior,
+           CAST(rnk AS INT) AS rank
+    FROM c WHERE rnk <= 2
+    """.replace("{re}", _G2_TAG_RE_SQL),
+)
+def el1_alias_prior_linking(spark, sf_dir):
+    """Alias-commonness entity linking (el.linking.alias_prior ->
+    link_by_prior) — the Milne-Witten/TAGME name-prior linker — fed
+    by the REAL anchor pipeline (extract_anchor_texts ->
+    anchor_alias_stats) over the g2 synthesized corpus, so the whole
+    chain html -> alias evidence -> P(entity|alias) -> top-2
+    candidates per mention is verified hash-exactly end-to-end.
+    Mentions are synthesized per doc_id with case + whitespace noise
+    the normalizer must absorb ('SITE  3 official' ~ 'site 3
+    official'); every 13th mention has no alias evidence and must
+    yield NO row (inner-join drop semantics). Ranking is by integer
+    link count with an entity tie break — no float comparisons —
+    while the emitted prior is one per-row exact-integer division."""
+    from el.extract import anchor_alias_stats, extract_anchor_texts
+    from el.linking import alias_prior, link_by_prior
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _g2_page_html().alias("page_html"))
+    stats = anchor_alias_stats(
+        extract_anchor_texts(pages, html_col="page_html", id_col="doc_id"),
+        src_col="doc_id",
+    )
+    prior = alias_prior(stats)
+
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    surface = (
+        F.when(did % 13 == 0, F.concat(F.lit("no such alias "), s(did)))
+        .when(
+            did % 2 == 0,
+            F.concat(F.lit("SITE  "), s(did % 7), F.lit(" official")),
+        )
+        .otherwise(F.concat(F.lit("cDn "), s(did % 4)))
+    )
+    mentions = docs.select(did.alias("mention_id"), surface.alias("surface"))
+    return link_by_prior(mentions, prior, k=2)
+
+
+@check(
+    "el2_context_linking",
+    oracle="""
+    WITH ex AS (
+      SELECT entity, profile FROM (
+        SELECT label AS entity, embedding AS profile,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings) WHERE rn = 1
+    ), cand AS (
+      SELECT vec_id AS mention_id,
+             CAST(unnest(list_value(
+                 vec_id%10, (vec_id*3+1)%10, (vec_id*7+2)%10))
+               AS INTEGER) AS entity
+      FROM embeddings
+    ), scored AS (
+      SELECT c.mention_id, c.entity,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(x.profile AS DOUBLE[])) AS ctx_cos
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.mention_id
+      JOIN ex x ON x.entity = c.entity
+    )
+    SELECT mention_id, entity, CAST(rnk AS INT) AS ctx_rank FROM (
+      SELECT mention_id, entity,
+             row_number() OVER (PARTITION BY mention_id
+                                ORDER BY ctx_cos DESC, entity) AS rnk
+      FROM scored) WHERE rnk <= 2
+    """,
+)
+def el2_context_linking(spark, sf_dir):
+    """Context disambiguation (el.linking.entity_profiles ->
+    rerank_by_context): candidate entities per mention re-ranked by
+    the exact JVM cosine between the mention's embedding and the
+    entity's profile vector — the TAGME-style second signal after the
+    el1 prior. Candidates come from deterministic integer arithmetic
+    reproduced on both engines (3 distinct labels per mention — the
+    mod-10 formulas provably never collide); profiles use the
+    'exemplar' regime (min-vec_id vector per label, integer argmin)
+    so the oracle is exact — the production 'centroid' regime
+    (a4b-path grouped means, not cross-engine bit-stable) is pinned
+    by pytest instead, the dd5b regime split. Rank ordering rides the
+    ann1-proven cross-engine agreement of per-row cosine doubles;
+    the float itself is not emitted."""
+    from el.linking import entity_profiles, rerank_by_context
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    cands = emb.select(
+        vid.alias("mention_id"),
+        F.explode(
+            F.array(vid % 10, (vid * 3 + 1) % 10, (vid * 7 + 2) % 10)
+        ).alias("entity"),
+    ).withColumn("entity", F.col("entity").cast("int"))
+    contexts = emb.select(
+        vid.alias("mention_id"), F.col("embedding").alias("ctx_vec")
+    )
+    profiles = entity_profiles(emb, method="exemplar")
+    out = rerank_by_context(cands, contexts, profiles, k=2)
+    return out.select("mention_id", "entity", "ctx_rank")
 
 
 @check(

@@ -1,0 +1,211 @@
+"""Mention -> catalog entity linking (el.linking): alias-commonness
+prior + context re-rank."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from el.linking import (
+    alias_prior,
+    entity_profiles,
+    link_by_prior,
+    rerank_by_context,
+)
+
+
+def _stats(spark):
+    # alias evidence: 'paris' is ambiguous (city 6 links, person 2),
+    # 'acme' unambiguous, 'one off' a single-link typo
+    return spark.createDataFrame(
+        [
+            ("paris", "city:paris", 6, 3),
+            ("paris", "person:paris", 2, 2),
+            ("acme", "org:acme", 5, 4),
+            ("one off", "org:typo", 1, 1),
+        ],
+        "alias string, dst_host string, n_links long, n_src_pages long",
+    )
+
+
+def test_alias_prior_totals_and_values(spark):
+    p = {
+        (r.alias, r.entity): r
+        for r in alias_prior(_stats(spark)).collect()
+    }
+    assert p[("paris", "city:paris")].alias_total == 8
+    assert p[("paris", "city:paris")].prior == 6 / 8
+    assert p[("paris", "person:paris")].prior == 2 / 8
+    assert p[("acme", "org:acme")].prior == 1.0
+    # priors sum to exactly 1 per alias (n/total with a shared
+    # denominator -> the float sum over one alias is exact here)
+    by_alias = {}
+    for (a, _), r in p.items():
+        by_alias[a] = by_alias.get(a, 0.0) + r.prior
+    assert all(v == pytest.approx(1.0, abs=1e-12) for v in by_alias.values())
+
+
+def test_link_by_prior_ranking_normalization_and_drop(spark):
+    mentions = spark.createDataFrame(
+        [
+            (1, "  PARIS "),        # case+trim noise -> ambiguous alias
+            (2, "Acme"),            # unambiguous
+            (3, "unknown thing"),   # no alias evidence -> dropped
+            (4, "one   off"),       # whitespace collapse -> typo alias
+            (5, None),              # NULL surface -> dropped
+        ],
+        "mention_id long, surface string",
+    )
+    prior = alias_prior(_stats(spark))
+    out = link_by_prior(mentions, prior, k=2)
+    rows = {(r.mention_id, r.rank): r for r in out.collect()}
+    # mention 1: city first (6 links), person second
+    assert rows[(1, 1)].entity == "city:paris"
+    assert rows[(1, 2)].entity == "person:paris"
+    assert rows[(1, 1)].prior == 0.75
+    # mention 2: single candidate
+    assert rows[(2, 1)].entity == "org:acme"
+    assert (2, 2) not in rows
+    # mention 3 and 5 dropped entirely
+    assert not any(m in (3, 5) for m, _ in rows)
+    # mention 4 links after whitespace collapse
+    assert rows[(4, 1)].entity == "org:typo"
+    # min_links drops the typo alias from the candidate set
+    kept = link_by_prior(mentions, prior, k=2, min_links=2)
+    assert not any(
+        r.mention_id == 4 for r in kept.collect()
+    )
+    with pytest.raises(ValueError):
+        link_by_prior(mentions, prior, k=0)
+
+
+def test_link_by_prior_tie_breaks_by_entity(spark):
+    stats = spark.createDataFrame(
+        [("x", "b:ent", 3, 1), ("x", "a:ent", 3, 1)],
+        "alias string, dst_host string, n_links long, n_src_pages long",
+    )
+    mentions = spark.createDataFrame(
+        [(1, "x")], "mention_id long, surface string"
+    )
+    out = link_by_prior(mentions, alias_prior(stats), k=2).collect()
+    got = {r.rank: r.entity for r in out}
+    assert got == {1: "a:ent", 2: "b:ent"}
+
+
+def test_link_by_prior_broadcasts_the_catalog_side(spark):
+    mentions = spark.createDataFrame(
+        [(1, "acme")], "mention_id long, surface string"
+    )
+    plan = (
+        link_by_prior(mentions, alias_prior(_stats(spark)), k=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def _vecs(spark):
+    # two entities with clearly separated directions; vec_id order
+    # makes label 0's exemplar (1,0,0,0) and label 1's (0,1,0,0)
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.0, 1.0, 0.0, 0.0], 1),
+            (2, [0.9, 0.1, 0.0, 0.0], 0),
+            (3, [0.1, 0.9, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_entity_profiles_exemplar_and_centroid(spark):
+    vecs = _vecs(spark)
+    ex = {r.entity: list(r.profile) for r in
+          entity_profiles(vecs, method="exemplar", dim=4).collect()}
+    assert ex[0] == pytest.approx([1.0, 0.0, 0.0, 0.0])
+    assert ex[1] == pytest.approx([0.0, 1.0, 0.0, 0.0])
+    cent = {r.entity: list(r.profile) for r in
+            entity_profiles(vecs, method="centroid", dim=4).collect()}
+    assert cent[0] == pytest.approx([0.95, 0.05, 0.0, 0.0])
+    assert cent[1] == pytest.approx([0.05, 0.95, 0.0, 0.0])
+    with pytest.raises(ValueError):
+        entity_profiles(vecs, method="nope")
+
+
+def test_rerank_by_context_overrides_prior_order(spark):
+    vecs = _vecs(spark)
+    # mention 2's context points at entity 0; the prior preferred
+    # entity 1 (rank 1) — the context re-rank must flip it
+    candidates = spark.createDataFrame(
+        [(2, 1, 9), (2, 0, 1)],
+        "mention_id long, entity int, n_links long",
+    )
+    contexts = vecs.select(
+        F.col("vec_id").alias("mention_id"),
+        F.col("embedding").alias("ctx_vec"),
+    )
+    profiles = entity_profiles(vecs, method="exemplar", dim=4)
+    out = rerank_by_context(candidates, contexts, profiles, k=2)
+    got = {r.ctx_rank: r.entity for r in out.collect()}
+    assert got == {1: 0, 2: 1}
+    # candidate columns survive the re-rank
+    assert {r.entity: r.n_links for r in out.collect()} == {0: 1, 1: 9}
+    with pytest.raises(ValueError):
+        rerank_by_context(candidates, contexts, profiles, k=0)
+
+
+def test_rerank_by_context_inner_join_semantics_and_determinism(spark):
+    vecs = _vecs(spark)
+    candidates = spark.createDataFrame(
+        # mention 99 has no context vector; entity 7 has no profile
+        [(2, 0, 1), (99, 0, 1), (2, 7, 1)],
+        "mention_id long, entity int, n_links long",
+    )
+    contexts = vecs.select(
+        F.col("vec_id").alias("mention_id"),
+        F.col("embedding").alias("ctx_vec"),
+    )
+    profiles = entity_profiles(vecs, method="exemplar", dim=4)
+    out = rerank_by_context(candidates, contexts, profiles, k=3)
+    assert {(r.mention_id, r.entity) for r in out.collect()} == {(2, 0)}
+    # bit-determinism across input partitionings
+    out7 = rerank_by_context(
+        candidates.repartition(7), contexts, profiles, k=3
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out7.collect())
+    )
+
+
+def test_linking_end_to_end_prior_then_context(spark):
+    """The full two-signal linker: alias evidence -> prior candidates
+    -> context re-rank, on a corpus where the prior alone picks the
+    wrong entity for a context-specific mention."""
+    stats = spark.createDataFrame(
+        # 'jaguar' links mostly to the carmaker across the crawl
+        [("jaguar", "org:cars", 9, 5), ("jaguar", "animal:cat", 3, 3)],
+        "alias string, dst_host string, n_links long, n_src_pages long",
+    )
+    mentions = spark.createDataFrame(
+        [(10, "Jaguar"), (11, "JAGUAR")],
+        "mention_id long, surface string",
+    )
+    cand = link_by_prior(mentions, alias_prior(stats), k=2)
+    # prior rank 1 is the carmaker for BOTH mentions
+    assert all(
+        r.entity == "org:cars"
+        for r in cand.where(F.col("rank") == 1).collect()
+    )
+    profiles = spark.createDataFrame(
+        [("org:cars", [1.0, 0.0]), ("animal:cat", [0.0, 1.0])],
+        "entity string, profile array<float>",
+    )
+    contexts = spark.createDataFrame(
+        # mention 10 appears in an automotive context, 11 in wildlife
+        [(10, [0.9, 0.1]), (11, [0.2, 0.8])],
+        "mention_id long, ctx_vec array<float>",
+    )
+    final = rerank_by_context(cand, contexts, profiles, k=1)
+    got = {r.mention_id: r.entity for r in final.collect()}
+    assert got == {10: "org:cars", 11: "animal:cat"}
