@@ -3629,8 +3629,10 @@ WINDOW_CORE = [
 # this round — all with green driver rows r1-r4: dd1, dd4, dd4b, dd5,
 # dd5b, dd7, dd8, ann1, tx1-tx4, st6, er2, lk1, ds1 (dd5's slot went
 # to the late-r5 g1_pagerank, see below).  Oracled checks without a
-# driver row after this window: ds2_pack_sequences plus the late-r5
-# additions (dd10, ds5, ds6, g0, g2, tx11-tx14) — more never-rowed
+# driver row after this window: ds2_pack_sequences, tx10_nfc_normalize
+# and diag1_key_skew_orders (the last two ceded their slots to the
+# el1/el2 entity linker, see below) plus the late-r5 additions (dd10,
+# ds5, ds6, ds7, g0, g2, tx11-tx14) — more never-rowed
 # candidates than the 15 rotating slots; each is verified by the
 # identical DuckDB comparison every pytest run
 # (tests/test_oracle_queries.py), and WINDOW_HISTORY.md audits which
@@ -3642,7 +3644,6 @@ WINDOW_R5 = [
     "tx6_url_canonicalize",
     "tx7_repetition_stats",
     "tx8_pii_scrub",
-    "tx10_nfc_normalize",
     # dedup family (chunk-level) + late-r5 web-graph centrality:
     # dd5_embedding_neardup gave this slot to g1_pagerank — dd5
     # already holds green driver rows from r1/r2/r3, g1 is new this
@@ -3658,12 +3659,18 @@ WINDOW_R5 = [
     # ER metrics / diagnostics
     "er3b_pr_curve",
     "er5_bcubed",
-    "diag1_key_skew_orders",
     # join pruning
     "j9_bloom_semi_orders",
     # r4-new first-class ops
     "dc1_benchmark_contamination",
     "lm1_bigram_rarity",
+    # late-r5 two-signal entity linker: the north-star capability
+    # itself (mention -> catalog). tx10_nfc_normalize and
+    # diag1_key_skew_orders ceded these two slots — both stay
+    # pytest-oracled like every rotated-out check; with no further
+    # rounds, driver rows are worth most on the headline ops.
+    "el1_alias_prior_linking",
+    "el2_context_linking",
 ]
 WINDOW = [*WINDOW_CORE, *WINDOW_R5]
 
