@@ -1,5 +1,5 @@
 """Mention -> catalog entity linking (el1 alias-commonness prior,
-el2 context re-rank).
+el2 context re-rank, el3 NIL-aware resolution).
 
 The flagship pipeline (el.pipeline) RESOLVES mentions against each
 other into clusters; this module LINKS surface mentions to a catalog
@@ -224,4 +224,90 @@ def rerank_by_context(
     return (
         scored.withColumn("ctx_rank", F.row_number().over(w))
         .where(F.col("ctx_rank") <= k)
+    )
+
+
+def resolve_links(
+    mentions: DataFrame,
+    prior: DataFrame,
+    surface_col: str = "surface",
+    id_col: str = "mention_id",
+    tau_num: int = 1,
+    tau_den: int = 50,
+    min_links: int = 1,
+    broadcast_prior: bool = True,
+) -> DataFrame:
+    """Final linking decision with NIL — the third classic component
+    after candidate generation (el1) and disambiguation (el2): a
+    mention whose best catalog candidate is not trustworthy must map
+    to NIL, never to a forced wrong link (TAGME prunes anchors with
+    commonness below a threshold; TAC-KBP scores NIL as a first-class
+    answer).
+
+    One row per input mention: ``(mention_id, surface, entity,
+    n_links, alias_total, prior, is_nil, nil_reason)`` where
+    ``entity``/``n_links``/``alias_total``/``prior`` are NULL iff
+    ``is_nil``.  NIL rules, evaluated in order, ALL integer-exact so
+    the decision never depends on a float comparison:
+
+    - ``no_evidence``: the normalized surface matches no alias in the
+      prior table (left-join miss — el1's inner-join drop, made
+      explicit).
+    - ``low_prior``: best-candidate prior < tau_num/tau_den, tested
+      by integer cross-multiplication ``n_links * tau_den <
+      tau_num * alias_total`` (the TAGME epsilon prune; default
+      1/50 = 0.02).
+    - ``ambiguous``: the top-2 candidates have exactly equal link
+      counts — the prior cannot separate them, so don't guess (a
+      context signal, when available, breaks such ties via
+      rerank_by_context BEFORE this decision; this rule is the
+      no-context fallback).
+
+    Scale shape: identical to link_by_prior (broadcast catalog,
+    per-mention window over <= 2 rows) plus one mention-keyed left
+    join back to the input — the same single wide exchange, reused."""
+    cand = link_by_prior(
+        mentions,
+        prior,
+        surface_col=surface_col,
+        id_col=id_col,
+        k=2,
+        min_links=min_links,
+        broadcast_prior=broadcast_prior,
+    )
+    top1 = cand.where(F.col("rank") == 1).select(
+        F.col("mention_id"),
+        F.col("entity"),
+        F.col("n_links"),
+        F.col("alias_total"),
+        F.col("prior"),
+    )
+    top2 = cand.where(F.col("rank") == 2).select(
+        F.col("mention_id"), F.col("n_links").alias("_n_links2")
+    )
+    dec = top1.join(top2, on="mention_id", how="left").withColumn(
+        "nil_reason",
+        F.when(
+            F.col("n_links") * F.lit(int(tau_den))
+            < F.lit(int(tau_num)) * F.col("alias_total"),
+            F.lit("low_prior"),
+        ).when(F.col("_n_links2") == F.col("n_links"), F.lit("ambiguous")),
+    )
+    m = mentions.select(
+        F.col(id_col).alias("mention_id"), F.col(surface_col).alias("surface")
+    )
+    out = m.join(dec.drop("_n_links2"), on="mention_id", how="left")
+    nil = F.col("nil_reason").isNotNull() | F.col("entity").isNull()
+    return out.select(
+        "mention_id",
+        "surface",
+        *[
+            F.when(~nil, F.col(c)).alias(c)
+            for c in ("entity", "n_links", "alias_total", "prior")
+        ],
+        nil.alias("is_nil"),
+        F.coalesce(
+            F.col("nil_reason"),
+            F.when(F.col("entity").isNull(), F.lit("no_evidence")),
+        ).alias("nil_reason"),
     )

@@ -3188,6 +3188,149 @@ def el2_context_linking(spark, sf_dir):
 
 
 @check(
+    "el3_nil_resolution",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+        '<html><body>'
+        || '<a class="m" href="https://WWW.Site'
+           || CAST((doc_id*13)%97 AS VARCHAR) || '.example.org:443/p/'
+           || CAST(doc_id AS VARCHAR) || '">Site  '
+           || CAST(doc_id%7 AS VARCHAR) || '  Official</a>'
+        || '<a href="/rel/' || CAST(doc_id%5 AS VARCHAR)
+           || '">read  more</a>'
+        || '<a href="http://em.example.net/e"></a>'
+        || CASE WHEN doc_id%3 = 0 THEN
+             '<a href="http://cdn' || CAST(doc_id%11 AS VARCHAR)
+             || '.example.net/a">'
+             || (CASE WHEN doc_id%2 = 0 THEN 'CDN ' ELSE 'cdn ' END)
+             || CAST(doc_id%4 AS VARCHAR) || '</a>'
+           ELSE '' END
+        || CASE WHEN doc_id%4 = 1 THEN
+             '<a class="m" href="https://WWW.Site'
+             || CAST((doc_id*13)%97 AS VARCHAR) || '.example.org:443/p/'
+             || CAST(doc_id AS VARCHAR) || '">Site  '
+             || CAST(doc_id%7 AS VARCHAR) || '  Official</a>'
+           ELSE '' END
+        || '</body></html>' AS page_html
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(page_html, {re}, 0)) AS tag
+      FROM h
+    ), e AS (
+      SELECT doc_id, regexp_extract(tag, {re}, 1) AS href,
+             regexp_extract(tag, {re}, 2) AS anchor
+      FROM m
+    ), n AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(
+                 lower(regexp_extract(href,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                 '^www\.', ''), ':(80|443)$', '') AS host,
+             lower(trim(regexp_replace(anchor, '\s+', ' ', 'g'))) AS alias
+      FROM e
+    ), s AS (
+      SELECT host AS entity, alias, CAST(count(*) AS BIGINT) AS n_links
+      FROM n WHERE host IS NOT NULL AND host <> '' AND alias <> ''
+      GROUP BY entity, alias
+    ), p AS (
+      SELECT alias, entity, n_links,
+             CAST(sum(n_links) OVER (PARTITION BY alias) AS BIGINT)
+               AS alias_total
+      FROM s
+    ), men AS (
+      SELECT doc_id AS mention_id,
+             CASE WHEN doc_id%13 = 0 THEN
+                    'no such alias ' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id%2 = 0 THEN
+                    'SITE  ' || CAST(doc_id%7 AS VARCHAR) || ' official'
+                  ELSE 'cDn ' || CAST(doc_id%4 AS VARCHAR) END AS surface
+      FROM documents
+    ), nm AS (
+      SELECT mention_id,
+             lower(trim(regexp_replace(surface, '\s+', ' ', 'g'))) AS msurf
+      FROM men
+    ), c AS (
+      SELECT mention_id, p.entity, p.n_links, p.alias_total,
+             p.n_links / p.alias_total AS prior,
+             row_number() OVER (PARTITION BY mention_id
+                                ORDER BY p.n_links DESC, p.entity) AS rnk
+      FROM nm JOIN p ON nm.msurf = p.alias
+    ), t1 AS (
+      SELECT mention_id, entity, n_links, alias_total, prior
+      FROM c WHERE rnk = 1
+    ), t2 AS (
+      SELECT mention_id, n_links AS n2 FROM c WHERE rnk = 2
+    ), dec AS (
+      SELECT t1.mention_id, t1.entity, t1.n_links, t1.alias_total,
+             t1.prior,
+             CASE WHEN t1.n_links * 50 < 1 * t1.alias_total
+                    THEN 'low_prior'
+                  WHEN t2.n2 = t1.n_links THEN 'ambiguous'
+             END AS nil_reason
+      FROM t1 LEFT JOIN t2 ON t1.mention_id = t2.mention_id
+    ), fin AS (
+      SELECT men.mention_id, men.surface, d.entity, d.n_links,
+             d.alias_total, d.prior, d.nil_reason,
+             (d.nil_reason IS NOT NULL OR d.entity IS NULL) AS nil
+      FROM men LEFT JOIN dec d ON men.mention_id = d.mention_id
+    )
+    SELECT mention_id, surface,
+           CASE WHEN NOT nil THEN entity END AS entity,
+           CASE WHEN NOT nil THEN n_links END AS n_links,
+           CASE WHEN NOT nil THEN alias_total END AS alias_total,
+           CASE WHEN NOT nil THEN prior END AS prior,
+           CAST(nil AS INT) AS is_nil,
+           coalesce(nil_reason,
+                    CASE WHEN entity IS NULL THEN 'no_evidence' END)
+             AS nil_reason
+    FROM fin
+    """.replace("{re}", _G2_TAG_RE_SQL),
+)
+def el3_nil_resolution(spark, sf_dir):
+    """NIL-aware final linking decision (el.linking.resolve_links) —
+    the third classic EL component after el1 candidate generation and
+    el2 disambiguation: one row per INPUT mention (left-total, unlike
+    el1's inner-join candidates), mapping to either its best catalog
+    entity or NIL with an explicit integer-exact reason
+    (``no_evidence`` / ``low_prior`` at the TAGME-style 1/50
+    commonness prune / ``ambiguous`` top-2 link-count tie).  Same g2
+    anchor corpus and mention synthesis as el1, so all three NIL
+    branches fire at fixture scale: every 13th mention has no alias
+    evidence, the 97-way-spread 'site k official' aliases sit near
+    the 0.02 prior floor, and the cdn aliases tie.  is_nil is emitted
+    as INT on both engines (driver hash stability)."""
+    from el.extract import anchor_alias_stats, extract_anchor_texts
+    from el.linking import alias_prior, resolve_links
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _g2_page_html().alias("page_html"))
+    stats = anchor_alias_stats(
+        extract_anchor_texts(pages, html_col="page_html", id_col="doc_id"),
+        src_col="doc_id",
+    )
+    prior = alias_prior(stats)
+
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    surface = (
+        F.when(did % 13 == 0, F.concat(F.lit("no such alias "), s(did)))
+        .when(
+            did % 2 == 0,
+            F.concat(F.lit("SITE  "), s(did % 7), F.lit(" official")),
+        )
+        .otherwise(F.concat(F.lit("cDn "), s(did % 4)))
+    )
+    mentions = docs.select(did.alias("mention_id"), surface.alias("surface"))
+    out = resolve_links(mentions, prior, tau_num=1, tau_den=50)
+    return out.withColumn("is_nil", F.col("is_nil").cast("int"))
+
+
+@check(
     "tx12_host_stats",
     oracle="""
     WITH pages AS (

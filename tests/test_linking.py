@@ -11,6 +11,7 @@ from el.linking import (
     entity_profiles,
     link_by_prior,
     rerank_by_context,
+    resolve_links,
 )
 
 
@@ -209,3 +210,79 @@ def test_linking_end_to_end_prior_then_context(spark):
     final = rerank_by_context(cand, contexts, profiles, k=1)
     got = {r.mention_id: r.entity for r in final.collect()}
     assert got == {10: "org:cars", 11: "animal:cat"}
+
+
+def _nil_stats(spark):
+    # evidence engineered so every NIL rule fires at tau = 1/2:
+    # 'paris'  -> confident (best 6/8, top-2 counts differ)
+    # 'acme'   -> confident (singleton, prior 1.0)
+    # 'spread' -> low_prior (best 2/5 < 1/2, no tie)
+    # 'tie'    -> ambiguous (3 vs 3)
+    # 'both'   -> low_prior wins over ambiguous (1/3 tie; rule order)
+    return spark.createDataFrame(
+        [
+            ("paris", "city:paris", 6, 3),
+            ("paris", "person:paris", 2, 2),
+            ("acme", "org:acme", 5, 4),
+            ("spread", "e1", 2, 2),
+            ("spread", "e2", 1, 1),
+            ("spread", "e3", 1, 1),
+            ("spread", "e4", 1, 1),
+            ("tie", "t1", 3, 2),
+            ("tie", "t2", 3, 2),
+            ("both", "b1", 1, 1),
+            ("both", "b2", 1, 1),
+            ("both", "b3", 1, 1),
+        ],
+        "alias string, dst_host string, n_links long, n_src_pages long",
+    )
+
+
+def test_resolve_links_all_nil_rules_and_confident_links(spark):
+    mentions = spark.createDataFrame(
+        [
+            (1, "  PARIS "),
+            (2, "Acme"),
+            (3, "unknown thing"),
+            (4, "spread"),
+            (5, "tie"),
+            (6, "both"),
+            (7, None),
+        ],
+        "mention_id long, surface string",
+    )
+    prior = alias_prior(_nil_stats(spark))
+    out = resolve_links(mentions, prior, tau_num=1, tau_den=2)
+    rows = {r.mention_id: r for r in out.collect()}
+    # left-total: one row per INPUT mention, including the NULL surface
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 7}
+    # confident links carry the full candidate payload
+    assert not rows[1].is_nil and rows[1].entity == "city:paris"
+    assert rows[1].n_links == 6 and rows[1].alias_total == 8
+    assert rows[1].prior == 6 / 8 and rows[1].nil_reason is None
+    assert not rows[2].is_nil and rows[2].entity == "org:acme"
+    # each NIL rule, with payload columns all NULLed
+    assert rows[3].is_nil and rows[3].nil_reason == "no_evidence"
+    assert rows[4].is_nil and rows[4].nil_reason == "low_prior"
+    assert rows[5].is_nil and rows[5].nil_reason == "ambiguous"
+    assert rows[6].is_nil and rows[6].nil_reason == "low_prior"
+    assert rows[7].is_nil and rows[7].nil_reason == "no_evidence"
+    for mid in (3, 4, 5, 6, 7):
+        r = rows[mid]
+        assert r.entity is None and r.n_links is None
+        assert r.alias_total is None and r.prior is None
+    # raw (un-normalized) surface is preserved on every row
+    assert rows[1].surface == "  PARIS "
+
+
+def test_resolve_links_tau_gates_the_prior_threshold(spark):
+    mentions = spark.createDataFrame(
+        [(1, "spread")], "mention_id long, surface string"
+    )
+    prior = alias_prior(_nil_stats(spark))
+    # best prior for 'spread' is exactly 2/5; tau 2/5 is NOT below
+    # the bar (strict <), tau just above it is
+    ok = resolve_links(mentions, prior, tau_num=2, tau_den=5).collect()[0]
+    assert not ok.is_nil and ok.entity == "e1"
+    nil = resolve_links(mentions, prior, tau_num=41, tau_den=100).collect()[0]
+    assert nil.is_nil and nil.nil_reason == "low_prior"
