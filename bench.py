@@ -102,6 +102,9 @@ HEADLINE_OPTIONAL = [
     # candidate x profile JVM-cosine re-rank
     "el1_alias_prior_linking",
     "el2_context_linking",
+    # late-r5: NIL-aware final linking decision — pins the left-total
+    # mention-keyed decision join on top of el1's broadcast chain
+    "el3_nil_resolution",
 ]
 
 
