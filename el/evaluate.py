@@ -338,3 +338,82 @@ def clustering_bcubed(
         r.alias("bcubed_r"),
         f1.alias("bcubed_f1"),
     )
+
+
+def linking_eval(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "mention_id",
+    pred_entity_col: str = "entity",
+    gold_entity_col: str = "entity",
+) -> DataFrame:
+    """TAC-KBP-style NIL-aware entity-linking evaluation (McNamee &
+    Dang 2009) — the metric that completes el1-el3: per-mention
+    accuracy over the gold set where NIL is a first-class answer,
+    plus in-KB and NIL precision/recall (and in-KB F1).
+
+    ``pred`` is resolve_links-shaped (one row per mention,
+    ``pred_entity_col`` NULL iff NIL); ``gold`` is one row per query
+    mention with ``gold_entity_col`` NULL meaning the mention is NIL.
+    LEFT join from gold: a mention absent from ``pred`` counts as a
+    NIL prediction (TAC-KBP scores every query; silence is NIL, never
+    an excuse). ``pred`` must be unique per mention id (resolve_links
+    guarantees this; duplicates would double-count).
+
+    One row out: ``(n_mentions, n_gold_kb, n_pred_kb, n_correct_kb,
+    n_correct_nil, accuracy, kb_p, kb_r, kb_f1, nil_p, nil_r)``.
+    Every ratio is ONE IEEE division of two exact integer sums (and
+    kb_f1 one fixed-order 2pr/(p+r) on those quotients), so the
+    DuckDB oracle hash-matches bit-exactly — the er2/er5 discipline.
+    Scale shape: one mention-keyed equi-join + one global aggregate of
+    integer flags (partial-agg friendly); never wider than the input."""
+    g = gold.select(
+        F.col(id_col).alias("_id"), F.col(gold_entity_col).alias("_g")
+    )
+    p = pred.select(
+        F.col(id_col).alias("_id"), F.col(pred_entity_col).alias("_p")
+    )
+    j = g.join(p, on="_id", how="left")
+
+    def _n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = j.agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        _n(F.col("_g").isNotNull()).alias("n_gold_kb"),
+        _n(F.col("_p").isNotNull()).alias("n_pred_kb"),
+        _n(
+            F.col("_p").isNotNull()
+            & F.col("_g").isNotNull()
+            & (F.col("_p") == F.col("_g"))
+        ).alias("n_correct_kb"),
+        _n(F.col("_p").isNull() & F.col("_g").isNull()).alias(
+            "n_correct_nil"
+        ),
+    )
+
+    def _ratio(num, den):
+        return F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    n = F.col("n_mentions")
+    ckb, cnil = F.col("n_correct_kb"), F.col("n_correct_nil")
+    kb_p = _ratio(ckb, F.col("n_pred_kb"))
+    kb_r = _ratio(ckb, F.col("n_gold_kb"))
+    kb_f1 = F.when(
+        kb_p + kb_r > 0.0, F.lit(2.0) * kb_p * kb_r / (kb_p + kb_r)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_mentions",
+        "n_gold_kb",
+        "n_pred_kb",
+        "n_correct_kb",
+        "n_correct_nil",
+        _ratio(ckb + cnil, n).alias("accuracy"),
+        kb_p.alias("kb_p"),
+        kb_r.alias("kb_r"),
+        kb_f1.alias("kb_f1"),
+        _ratio(cnil, n - F.col("n_pred_kb")).alias("nil_p"),
+        _ratio(cnil, n - F.col("n_gold_kb")).alias("nil_r"),
+    )

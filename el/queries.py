@@ -3331,6 +3331,102 @@ def el3_nil_resolution(spark, sf_dir):
 
 
 @check(
+    "el4_linking_eval",
+    oracle="""
+    WITH pred AS (
+      SELECT doc_id AS mention_id,
+             CASE WHEN doc_id%5 = 0 THEN NULL
+                  ELSE 'e' || CAST(doc_id%7 AS VARCHAR) END AS p_ent
+      FROM documents WHERE doc_id%13 <> 0
+    ), gold AS (
+      SELECT doc_id AS mention_id,
+             CASE WHEN doc_id%3 = 0 THEN NULL
+                  ELSE 'e' || CAST((doc_id%7
+                       + CASE WHEN doc_id%11 = 0 THEN 1 ELSE 0 END)%7
+                       AS VARCHAR) END AS g_ent
+      FROM documents
+    ), j AS (
+      SELECT g.g_ent, p.p_ent
+      FROM gold g LEFT JOIN pred p ON g.mention_id = p.mention_id
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_mentions,
+        CAST(sum(CASE WHEN g_ent IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_gold_kb,
+        CAST(sum(CASE WHEN p_ent IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pred_kb,
+        CAST(sum(CASE WHEN p_ent IS NOT NULL AND g_ent IS NOT NULL
+                           AND p_ent = g_ent THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct_kb,
+        CAST(sum(CASE WHEN p_ent IS NULL AND g_ent IS NULL
+                      THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct_nil
+      FROM j
+    ), rat AS (
+      SELECT *,
+        CASE WHEN n_pred_kb > 0
+             THEN CAST(n_correct_kb AS DOUBLE)
+                  / CAST(n_pred_kb AS DOUBLE) ELSE 0.0 END AS kb_p,
+        CASE WHEN n_gold_kb > 0
+             THEN CAST(n_correct_kb AS DOUBLE)
+                  / CAST(n_gold_kb AS DOUBLE) ELSE 0.0 END AS kb_r
+      FROM agg
+    )
+    SELECT n_mentions, n_gold_kb, n_pred_kb, n_correct_kb, n_correct_nil,
+      CAST(n_correct_kb + n_correct_nil AS DOUBLE)
+        / CAST(n_mentions AS DOUBLE) AS accuracy,
+      kb_p, kb_r,
+      CASE WHEN kb_p + kb_r > 0.0
+           THEN 2.0 * kb_p * kb_r / (kb_p + kb_r)
+           ELSE 0.0 END AS kb_f1,
+      CASE WHEN n_mentions - n_pred_kb > 0
+           THEN CAST(n_correct_nil AS DOUBLE)
+                / CAST(n_mentions - n_pred_kb AS DOUBLE)
+           ELSE 0.0 END AS nil_p,
+      CASE WHEN n_mentions - n_gold_kb > 0
+           THEN CAST(n_correct_nil AS DOUBLE)
+                / CAST(n_mentions - n_gold_kb AS DOUBLE)
+           ELSE 0.0 END AS nil_r
+    FROM rat
+    """,
+)
+def el4_linking_eval(spark, sf_dir):
+    """NIL-aware linking evaluation (el.evaluate.linking_eval, the
+    TAC-KBP accuracy/in-KB/NIL contingency) over a prediction/gold
+    pair synthesized from doc_id arithmetic on BOTH engines: every
+    5th prediction is NIL, every 3rd gold is NIL, every 11th gold
+    entity is shifted (a planted wrong link), and every 13th mention
+    is MISSING from pred entirely — exercising the left-join
+    silence-is-NIL rule. All five counters and all six ratios
+    compared hash-exactly (each ratio one IEEE division of exact
+    integer sums; kb_f1 the fixed-order 2pr/(p+r), the er5
+    discipline)."""
+    from el.evaluate import linking_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pred = docs.where(did % 13 != 0).select(
+        did.alias("mention_id"),
+        F.when(did % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("e"), (did % 7).cast("string")))
+        .alias("entity"),
+    )
+    gold = docs.select(
+        did.alias("mention_id"),
+        F.when(did % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("e"),
+                (
+                    (did % 7 + F.when(did % 11 == 0, 1).otherwise(0)) % 7
+                ).cast("string"),
+            )
+        )
+        .alias("entity"),
+    )
+    return linking_eval(pred, gold)
+
+
+@check(
     "tx12_host_stats",
     oracle="""
     WITH pages AS (

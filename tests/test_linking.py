@@ -286,3 +286,56 @@ def test_resolve_links_tau_gates_the_prior_threshold(spark):
     assert not ok.is_nil and ok.entity == "e1"
     nil = resolve_links(mentions, prior, tau_num=41, tau_den=100).collect()[0]
     assert nil.is_nil and nil.nil_reason == "low_prior"
+
+
+def test_linking_eval_contingency_and_silence_is_nil(spark):
+    from el.evaluate import linking_eval
+
+    gold = spark.createDataFrame(
+        [
+            (1, "e1"),   # correct KB link
+            (2, "e2"),   # wrong KB link (pred e9)
+            (3, None),   # correct NIL
+            (4, "e4"),   # pred NIL on a KB mention (missed link)
+            (5, None),   # pred KB on a NIL mention (false link)
+            (6, "e6"),   # MISSING from pred -> counts as NIL pred
+        ],
+        "mention_id long, entity string",
+    )
+    pred = spark.createDataFrame(
+        [(1, "e1"), (2, "e9"), (3, None), (4, None), (5, "e5")],
+        "mention_id long, entity string",
+    )
+    r = linking_eval(pred, gold).collect()[0]
+    assert r.n_mentions == 6
+    assert r.n_gold_kb == 4
+    # mention 6 is absent from pred -> NIL prediction, so 3 KB preds
+    assert r.n_pred_kb == 3
+    assert r.n_correct_kb == 1 and r.n_correct_nil == 1
+    assert r.accuracy == 2 / 6
+    assert r.kb_p == 1 / 3 and r.kb_r == 1 / 4
+    assert r.kb_f1 == pytest.approx(2 * (1 / 3) * (1 / 4) / (1 / 3 + 1 / 4))
+    assert r.nil_p == 1 / 3 and r.nil_r == 1 / 2
+
+
+def test_linking_eval_on_resolve_links_output(spark):
+    """The el3 -> el4 composition: resolve_links' NIL column feeds
+    linking_eval directly (entity NULL iff is_nil)."""
+    from el.evaluate import linking_eval
+
+    mentions = spark.createDataFrame(
+        [(1, "PARIS"), (2, "acme"), (3, "unknown"), (4, "tie")],
+        "mention_id long, surface string",
+    )
+    prior = alias_prior(_nil_stats(spark))
+    pred = resolve_links(mentions, prior, tau_num=1, tau_den=2)
+    gold = spark.createDataFrame(
+        [(1, "city:paris"), (2, "org:acme"), (3, None), (4, "t1")],
+        "mention_id long, entity string",
+    )
+    r = linking_eval(pred, gold).collect()[0]
+    # 1 and 2 linked correctly; 3 NIL-correct; 4 gold-KB but the tie
+    # forces a NIL prediction (the conservative miss, not a wrong link)
+    assert r.n_correct_kb == 2 and r.n_correct_nil == 1
+    assert r.accuracy == 3 / 4
+    assert r.kb_p == 1.0 and r.kb_r == 2 / 3
