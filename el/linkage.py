@@ -176,3 +176,159 @@ def link_tables(
         )
         .where(F.col("jw") >= threshold)
     )
+
+
+# -- Fellegi-Sunter probabilistic linkage (lk2) ---------------------------
+#
+# The classic probabilistic record-linkage model (Fellegi & Sunter
+# 1969; the public Splink implementation popularized the exact-u
+# estimation used here): each compared field contributes a Bayes
+# factor m/u when it agrees and (1-m)/(1-u) when it does not, where
+# m = P(agree | pair is a match) and u = P(agree | random non-match
+# pair). The pair's match score is the product of its field factors.
+#
+# Determinism discipline (cross-engine hash-exact, the er5 pattern):
+# u comes from EXACT integer sum-of-products over value frequencies
+# (never sampling), m from exact labeled counts; each probability is
+# ONE IEEE division, and the per-pair product multiplies the factors
+# in the caller's fixed field order. No logs (transcendental) — the
+# monotone Bayes factor itself is the score; callers wanting the
+# Splink-style log2 "match weight" can take it for display only.
+
+
+def field_agreements(
+    cands: DataFrame,
+    fields: list[str],
+    l_prefix: str = "l_",
+    r_prefix: str = "r_",
+) -> DataFrame:
+    """Comparison-vector (gamma) columns for candidate pairs: for each
+    field ``f``, ``g_<f>`` is 1 iff ``<l_prefix><f>`` and
+    ``<r_prefix><f>`` are BOTH non-null and equal, else 0 — a NULL
+    never agrees (the block-key NULL discipline), and under the
+    two-level FS model a NULL-vs-value comparison is evidence against,
+    exactly like a disagreement. Pure per-row projection: no shuffle,
+    whole-stage codegen."""
+    out = cands
+    for f in fields:
+        lc, rc = F.col(l_prefix + f), F.col(r_prefix + f)
+        out = out.withColumn(
+            "g_" + f,
+            (lc.isNotNull() & rc.isNotNull() & (lc == rc)).cast("int"),
+        )
+    return out
+
+
+def estimate_u(left: DataFrame, right: DataFrame, fields: list[str]) -> DataFrame:
+    """Exact u-probabilities — P(field agrees | uniformly random
+    (left, right) pair) — WITHOUT materializing the quadratic pair
+    space: for each field, u = sum_v cnt_l(v) * cnt_r(v) / (N_l * N_r)
+    over the field's value frequencies (NULLs excluded from the
+    numerator: a NULL never agrees — denominators keep all rows, the
+    random-pair model). One row per field: ``(field, n_agree_pairs,
+    n_pairs, u)`` with u the single exact-integer division.
+
+    Scale shape: per field, two linear groupBy counts + one join on
+    the DISTINCT values (bounded by field cardinality, not corpus
+    size) + a 1-row sum — the Splink random-match estimation made
+    exact. Never a cross join."""
+    n_l, n_r = left.count(), right.count()
+    parts = []
+    for f in fields:
+        cl = left.where(F.col(f).isNotNull()).groupBy(
+            F.col(f).cast("string").alias("_v")
+        ).agg(F.count("*").cast("long").alias("_cl"))
+        cr = right.where(F.col(f).isNotNull()).groupBy(
+            F.col(f).cast("string").alias("_v")
+        ).agg(F.count("*").cast("long").alias("_cr"))
+        agree = cl.join(cr, on="_v").agg(
+            F.coalesce(
+                F.sum(F.col("_cl") * F.col("_cr")), F.lit(0).cast("long")
+            ).alias("n_agree_pairs")
+        )
+        parts.append(
+            agree.select(
+                F.lit(f).alias("field"),
+                "n_agree_pairs",
+                F.lit(int(n_l) * int(n_r)).cast("long").alias("n_pairs"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.withColumn(
+        "u",
+        F.col("n_agree_pairs").cast("double")
+        / F.col("n_pairs").cast("double"),
+    )
+
+
+def estimate_m(gammas: DataFrame, fields: list[str]) -> DataFrame:
+    """m-probabilities from a LABELED match set: ``gammas`` is
+    field_agreements output restricted to known-match pairs; m =
+    P(agree | match) per field, exact counts, one global aggregate.
+    One row per field: ``(field, n_agree, n_matches, m)``. (Splink
+    estimates m by EM when labels are scarce; with labels, this exact
+    count is the maximum-likelihood estimate.)"""
+    aggs = [F.count("*").cast("long").alias("n_matches")] + [
+        F.sum("g_" + f).cast("long").alias("_a_" + f) for f in fields
+    ]
+    row = gammas.agg(*aggs)
+    parts = [
+        row.select(
+            F.lit(f).alias("field"),
+            F.col("_a_" + f).alias("n_agree"),
+            "n_matches",
+            (
+                F.col("_a_" + f).cast("double")
+                / F.col("n_matches").cast("double")
+            ).alias("m"),
+        )
+        for f in fields
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fs_score(
+    gammas: DataFrame,
+    params: dict[str, tuple[float, float]],
+    prior: float | None = None,
+) -> DataFrame:
+    """Fellegi-Sunter match score per candidate pair: multiply each
+    field's Bayes factor — ``m/u`` on agreement (``g_<f>`` == 1),
+    ``(1-m)/(1-u)`` on disagreement — in the ITERATION ORDER of
+    ``params`` (fixed multiply order => bit-identical doubles across
+    engines and partitionings). Appends ``bayes_factor`` and, when a
+    prior match probability ``lambda`` is given, the posterior
+    ``match_prob = (prior*K) / (prior*K + 1 - prior)``.
+
+    ``params`` maps field -> (m, u): the persisted model artifact
+    (estimate_m / estimate_u outputs — fit once on the catalog scale,
+    reuse per crawl, the IVF/TF-IDF artifact discipline). Pure per-row
+    expressions over already-blocked candidates: no shuffle, no UDF."""
+    for f, (m, u) in params.items():
+        if not (0.0 < u < 1.0) or not (0.0 < m <= 1.0):
+            raise ValueError(f"field {f}: need 0 < u < 1 and 0 < m <= 1, got m={m}, u={u}")
+        if m <= u:
+            raise ValueError(
+                f"field {f}: m={m} <= u={u} — agreement would count "
+                "against a match; check the estimates"
+            )
+    k = F.lit(1.0)
+    for f, (m, u) in params.items():
+        k = k * F.when(
+            F.col("g_" + f) == 1, F.lit(float(m)) / F.lit(float(u))
+        ).otherwise(F.lit(1.0 - float(m)) / F.lit(1.0 - float(u)))
+    out = gammas.withColumn("bayes_factor", k)
+    if prior is not None:
+        lam = float(prior)
+        if not (0.0 < lam < 1.0):
+            raise ValueError(f"prior must be in (0,1), got {prior}")
+        bk = F.lit(lam) * F.col("bayes_factor")
+        out = out.withColumn(
+            "match_prob", bk / (bk + F.lit(1.0 - lam))
+        )
+    return out

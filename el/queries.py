@@ -2171,6 +2171,159 @@ def lk1_link_part_names(spark, sf_dir):
 
 
 @check(
+    "lk2_fellegi_sunter",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id AS id,
+             'c' || CAST(doc_id%13 AS VARCHAR) AS city,
+             doc_id%97 AS zip,
+             's' || CAST(doc_id%5 AS VARCHAR) AS seg
+      FROM documents
+    ), r AS (
+      SELECT doc_id AS id,
+             CASE WHEN doc_id%17 = 0 THEN NULL
+                  WHEN doc_id%7 = 0
+                    THEN 'c' || CAST((doc_id+1)%13 AS VARCHAR)
+                  ELSE 'c' || CAST(doc_id%13 AS VARCHAR) END AS city,
+             CASE WHEN doc_id%11 = 0 THEN (doc_id+3)%97
+                  ELSE doc_id%97 END AS zip,
+             CASE WHEN doc_id%3 = 0
+                    THEN 's' || CAST((doc_id+1)%5 AS VARCHAR)
+                  ELSE 's' || CAST(doc_id%5 AS VARCHAR) END AS seg
+      FROM documents
+    ), uc AS (
+      SELECT CAST(coalesce(sum(cl*cr), 0) AS BIGINT) AS na
+      FROM (SELECT city AS v, CAST(count(*) AS BIGINT) AS cl
+            FROM l WHERE city IS NOT NULL GROUP BY city) a
+      JOIN (SELECT city AS v, CAST(count(*) AS BIGINT) AS cr
+            FROM r WHERE city IS NOT NULL GROUP BY city) b USING (v)
+    ), uz AS (
+      SELECT CAST(coalesce(sum(cl*cr), 0) AS BIGINT) AS na
+      FROM (SELECT zip AS v, CAST(count(*) AS BIGINT) AS cl
+            FROM l WHERE zip IS NOT NULL GROUP BY zip) a
+      JOIN (SELECT zip AS v, CAST(count(*) AS BIGINT) AS cr
+            FROM r WHERE zip IS NOT NULL GROUP BY zip) b USING (v)
+    ), us AS (
+      SELECT CAST(coalesce(sum(cl*cr), 0) AS BIGINT) AS na
+      FROM (SELECT seg AS v, CAST(count(*) AS BIGINT) AS cl
+            FROM l WHERE seg IS NOT NULL GROUP BY seg) a
+      JOIN (SELECT seg AS v, CAST(count(*) AS BIGINT) AS cr
+            FROM r WHERE seg IS NOT NULL GROUP BY seg) b USING (v)
+    ), np AS (
+      SELECT CAST((SELECT count(*) FROM l) AS BIGINT)
+             * CAST((SELECT count(*) FROM r) AS BIGINT) AS n
+    ), uu AS (
+      SELECT CAST((SELECT na FROM uc) AS DOUBLE)
+               / CAST((SELECT n FROM np) AS DOUBLE) AS u_city,
+             CAST((SELECT na FROM uz) AS DOUBLE)
+               / CAST((SELECT n FROM np) AS DOUBLE) AS u_zip,
+             CAST((SELECT na FROM us) AS DOUBLE)
+               / CAST((SELECT n FROM np) AS DOUBLE) AS u_seg
+    ), cand AS (
+      SELECT l.id AS l_id, r.id AS r_id,
+             l.city AS l_city, r.city AS r_city,
+             l.zip AS l_zip, r.zip AS r_zip,
+             l.seg AS l_seg, r.seg AS r_seg
+      FROM l JOIN r ON r.id = l.id OR r.id = l.id + 1
+    ), g AS (
+      SELECT l_id, r_id,
+        CASE WHEN l_city IS NOT NULL AND r_city IS NOT NULL
+                  AND l_city = r_city THEN 1 ELSE 0 END AS g_city,
+        CASE WHEN l_zip IS NOT NULL AND r_zip IS NOT NULL
+                  AND l_zip = r_zip THEN 1 ELSE 0 END AS g_zip,
+        CASE WHEN l_seg IS NOT NULL AND r_seg IS NOT NULL
+                  AND l_seg = r_seg THEN 1 ELSE 0 END AS g_seg
+      FROM cand
+    ), scored AS (
+      SELECT g.*,
+        ((1.0
+          * CASE WHEN g_city = 1 THEN 0.95 / (SELECT u_city FROM uu)
+                 ELSE (1.0 - 0.95) / (1.0 - (SELECT u_city FROM uu))
+            END)
+          * CASE WHEN g_zip = 1 THEN 0.9 / (SELECT u_zip FROM uu)
+                 ELSE (1.0 - 0.9) / (1.0 - (SELECT u_zip FROM uu))
+            END)
+          * CASE WHEN g_seg = 1 THEN 0.85 / (SELECT u_seg FROM uu)
+                 ELSE (1.0 - 0.85) / (1.0 - (SELECT u_seg FROM uu))
+            END AS bayes_factor
+      FROM g
+    )
+    SELECT l_id, r_id, CAST(g_city AS INT) AS g_city,
+           CAST(g_zip AS INT) AS g_zip, CAST(g_seg AS INT) AS g_seg,
+           bayes_factor,
+           (0.5 * bayes_factor) / (0.5 * bayes_factor + 0.5)
+             AS match_prob
+    FROM scored
+    """,
+)
+def lk2_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter probabilistic linkage (el.linkage.estimate_u ->
+    field_agreements -> fs_score), the classic 1969 model behind
+    Splink: two record tables synthesized from doc_id arithmetic on
+    BOTH engines — the right side a noisy re-observation (every 7th
+    city wrong, every 17th NULL, every 11th zip shifted, every 3rd
+    segment wrong) — candidate pairs are the true (id, id) pairs plus
+    (id, id+1) decoys via an exploded equi-join (never an OR/cross
+    join), u-probabilities come from the EXACT value-frequency
+    sum-of-products (no sampling), m is fixed (0.95/0.9/0.85 — the
+    labeled-estimate path is pytest-pinned via estimate_m), and each
+    pair's Bayes factor multiplies its three field factors in fixed
+    order (city, zip, seg) so the doubles are bit-identical
+    cross-engine. Posterior match_prob at prior lambda = 0.5."""
+    from el.linkage import estimate_u, field_agreements, fs_score
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    left = docs.select(
+        did.alias("id"),
+        F.concat(F.lit("c"), s(did % 13)).alias("city"),
+        (did % 97).alias("zip"),
+        F.concat(F.lit("s"), s(did % 5)).alias("seg"),
+    )
+    right = docs.select(
+        did.alias("id"),
+        F.when(did % 17 == 0, F.lit(None).cast("string"))
+        .when(did % 7 == 0, F.concat(F.lit("c"), s((did + 1) % 13)))
+        .otherwise(F.concat(F.lit("c"), s(did % 13)))
+        .alias("city"),
+        F.when(did % 11 == 0, (did + 3) % 97)
+        .otherwise(did % 97)
+        .alias("zip"),
+        F.when(did % 3 == 0, F.concat(F.lit("s"), s((did + 1) % 5)))
+        .otherwise(F.concat(F.lit("s"), s(did % 5)))
+        .alias("seg"),
+    )
+    fields = ["city", "zip", "seg"]
+    u = {
+        r["field"]: r["u"]
+        for r in estimate_u(left, right, fields).collect()
+    }
+    m = {"city": 0.95, "zip": 0.9, "seg": 0.85}
+    params = {f: (m[f], u[f]) for f in fields}
+
+    lkeys = left.select(
+        F.col("id").alias("l_id"),
+        F.explode(F.array(F.col("id"), F.col("id") + 1)).alias("_rk"),
+        *[F.col(f).alias("l_" + f) for f in fields],
+    )
+    rkeys = right.select(
+        F.col("id").alias("r_id"),
+        *[F.col(f).alias("r_" + f) for f in fields],
+    )
+    cand = lkeys.join(rkeys, lkeys["_rk"] == rkeys["r_id"]).drop("_rk")
+    g = field_agreements(cand, fields)
+    out = fs_score(g, params, prior=0.5)
+    return out.select(
+        "l_id", "r_id", "g_city", "g_zip", "g_seg",
+        "bayes_factor", "match_prob",
+    )
+
+
+@check(
     "ds1_hash_split",
     oracle="""
     SELECT doc_id,

@@ -136,3 +136,112 @@ def test_link_tables_hostile_long_name_is_bounded(spark):
     }
     assert out[(1, 11)] == pytest.approx(1.0)
     assert (2, 12) in out
+
+
+# -- Fellegi-Sunter (lk2) -------------------------------------------------
+
+
+def _fs_tables(spark):
+    left = spark.createDataFrame(
+        [(1, "nyc", 10), (2, "nyc", 20), (3, "sf", 10), (4, None, 30)],
+        "id long, city string, zip long",
+    )
+    right = spark.createDataFrame(
+        [(1, "nyc", 10), (2, "la", 20), (3, "sf", 99), (4, "sf", 30)],
+        "id long, city string, zip long",
+    )
+    return left, right
+
+
+def test_estimate_u_exact_value_frequency_products(spark):
+    from el.linkage import estimate_u
+
+    left, right = _fs_tables(spark)
+    u = {r["field"]: r for r in estimate_u(left, right, ["city", "zip"]).collect()}
+    # city: l has nyc x2, sf x1 (NULL excluded); r has nyc x1, sf x2, la x1
+    # agree pairs = 2*1 + 1*2 = 4; denominator 4*4 = 16
+    assert u["city"].n_agree_pairs == 4 and u["city"].n_pairs == 16
+    assert u["city"].u == 4 / 16
+    # zip: l {10:2, 20:1, 30:1}; r {10:1, 20:1, 99:1, 30:1}
+    # agree = 2*1 + 1*1 + 1*1 = 4
+    assert u["zip"].n_agree_pairs == 4 and u["zip"].u == 4 / 16
+
+
+def test_field_agreements_null_never_agrees(spark):
+    from el.linkage import field_agreements
+
+    cands = spark.createDataFrame(
+        [(1, "a", "a", 5, 5), (2, None, None, 5, 6), (3, "a", None, None, 7)],
+        "pid long, l_city string, r_city string, l_zip long, r_zip long",
+    )
+    g = {r.pid: r for r in field_agreements(cands, ["city", "zip"]).collect()}
+    assert g[1].g_city == 1 and g[1].g_zip == 1
+    # NULL == NULL is NOT agreement (both-null pair disagrees)
+    assert g[2].g_city == 0 and g[2].g_zip == 0
+    assert g[3].g_city == 0 and g[3].g_zip == 0
+
+
+def test_estimate_m_and_fs_score_separation(spark):
+    from el.linkage import estimate_m, field_agreements, fs_score
+
+    # labeled matches: city agrees 3/4, zip agrees 4/4
+    labeled = spark.createDataFrame(
+        [
+            ("a", "a", 1, 1), ("b", "b", 2, 2),
+            ("c", "x", 3, 3), ("d", "d", 4, 4),
+        ],
+        "l_city string, r_city string, l_zip long, r_zip long",
+    )
+    gl = field_agreements(labeled, ["city", "zip"])
+    m = {r["field"]: r for r in estimate_m(gl, ["city", "zip"]).collect()}
+    assert m["city"].m == 3 / 4 and m["city"].n_matches == 4
+    assert m["zip"].m == 1.0
+
+    params = {"city": (0.75, 0.25), "zip": (0.95, 0.05)}
+    cands = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 0), (3, 0, 0)],
+        "pid long, g_city int, g_zip int",
+    )
+    out = {r.pid: r for r in fs_score(cands, params, prior=0.5).collect()}
+    # full agreement: (0.75/0.25) * (0.95/0.05) = 3 * 19 = 57
+    assert out[1].bayes_factor == pytest.approx(57.0)
+    assert out[1].match_prob == pytest.approx(57 / 58)
+    # monotone: more agreement -> strictly higher factor
+    assert out[1].bayes_factor > out[2].bayes_factor > out[3].bayes_factor
+    # full disagreement is evidence AGAINST (factor < 1)
+    assert out[3].bayes_factor < 1.0
+    assert 0.0 < out[3].match_prob < 0.5
+
+
+def test_fs_score_rejects_degenerate_params(spark):
+    from el.linkage import fs_score
+
+    cands = spark.createDataFrame([(1, 1)], "pid long, g_city int")
+    with pytest.raises(ValueError, match="m=0.2 <= u=0.5"):
+        fs_score(cands, {"city": (0.2, 0.5)})
+    with pytest.raises(ValueError, match="need 0 < u < 1"):
+        fs_score(cands, {"city": (0.9, 0.0)})
+    with pytest.raises(ValueError, match="prior"):
+        fs_score(cands, {"city": (0.9, 0.1)}, prior=1.0)
+
+
+def test_fs_end_to_end_true_pairs_outscore_decoys(spark):
+    from el.linkage import estimate_u, field_agreements, fs_score
+
+    left, right = _fs_tables(spark)
+    u = {r["field"]: r["u"] for r in estimate_u(left, right, ["city", "zip"]).collect()}
+    params = {f: (0.95, u[f]) for f in ["city", "zip"]}
+    true_p = left.selectExpr("id l_id", "city l_city", "zip l_zip").join(
+        right.selectExpr("id r_id", "city r_city", "zip r_zip"),
+        F.col("l_id") == F.col("r_id"),
+    )
+    decoys = left.selectExpr("id l_id", "city l_city", "zip l_zip").join(
+        right.selectExpr("id r_id", "city r_city", "zip r_zip"),
+        F.col("l_id") == F.col("r_id") - 2,
+    )
+    st = fs_score(field_agreements(true_p, ["city", "zip"]), params, prior=0.5)
+    sd = fs_score(field_agreements(decoys, ["city", "zip"]), params, prior=0.5)
+    # the fully-agreeing true pair beats every decoy pair
+    best_true = max(r.match_prob for r in st.collect())
+    assert best_true > max(r.match_prob for r in sd.collect())
+    assert best_true > 0.9
