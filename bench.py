@@ -244,6 +244,31 @@ def _mm7_audio_neardup_20k(spark, sf_dir):
     return audio_neardup_pairs(gen_audio_blobs(spark, 20_000))
 
 
+def _linkjob_resolve_40k(spark, sf_dir):
+    """The jobs/run_linking.py chain at bench scale: 40k anchor pages
+    -> extracted alias evidence -> commonness prior -> NIL-aware
+    resolution of 20k mentions (el1 + el3 composed over the
+    el.linkrun corpora; 80 aliases keep the per-alias link count even
+    so the planted 50/50 ties are exact). Returns the resolved-mention
+    frame — the expensive part; the 1-row TAC-KBP eval is pinned by
+    test_linkrun.py. The anchor-extraction scan dominates; after the
+    one (host, alias) aggregate everything is catalog-sized."""
+    from el.extract import anchor_alias_stats, extract_anchor_texts
+    from el.linking import alias_prior, resolve_links
+    from el.linkrun import anchor_corpus, mention_corpus
+
+    pages = anchor_corpus(spark, 40_000, 80)
+    stats = anchor_alias_stats(
+        extract_anchor_texts(pages, html_col="page_html", id_col="page_id"),
+        src_col="page_id",
+    )
+    prior = alias_prior(stats)
+    mentions = mention_corpus(spark, 20_000, 80).select(
+        "mention_id", "surface"
+    )
+    return resolve_links(mentions, prior)
+
+
 # benched with non-REGISTRY configs (production regime vs oracle regime)
 EXTRA = {
     "dd5b_embedding_neardup_lsh_prod": _dd5b_prod,
@@ -251,6 +276,7 @@ EXTRA = {
     "lm1_bigram_rarity_prefit": _lm1_prefit,
     "mm_decode_resize_features_20k": _mm_pipeline,
     "mm7_audio_neardup_20k": _mm7_audio_neardup_20k,
+    "linkjob_resolve_40k": _linkjob_resolve_40k,
 }
 
 PAGES_PER_SF = 60_000  # synthetic corpus size per unit sf
