@@ -4024,7 +4024,8 @@ WINDOW_CORE = [
 # driver row after this window: ds2_pack_sequences, tx10_nfc_normalize
 # and diag1_key_skew_orders (the last two ceded their slots to the
 # el1/el2 entity linker, see below) plus the late-r5 additions (dd10,
-# ds5, ds6, ds7, g0, g2, tx11-tx14) — more never-rowed
+# ds5, ds6, ds7, g0, g2, tx11-tx14, el3/el4 NIL resolution + eval,
+# lk2 Fellegi-Sunter) — more never-rowed
 # candidates than the 15 rotating slots; each is verified by the
 # identical DuckDB comparison every pytest run
 # (tests/test_oracle_queries.py), and WINDOW_HISTORY.md audits which

@@ -392,3 +392,50 @@ def test_anchor_alias_stats_aggregate_plan_shape(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # map-side combine before the first exchange
     assert plan.index("partial_count") > plan.index("Exchange")
+
+
+def test_resolve_links_broadcasts_catalog_and_never_cartesians(spark):
+    """el3's scale contract: BOTH catalog-side joins (candidate
+    generation and the top-2 self-combination) broadcast or stay
+    mention-keyed equi-joins — never a cartesian — and the per-mention
+    window runs once over <= 2 candidate rows."""
+    from el.linking import alias_prior, resolve_links
+
+    prior = alias_prior(
+        spark.createDataFrame(
+            [("paris", "city:paris", 6, 3), ("paris", "person:paris", 2, 2)],
+            "alias string, dst_host string, n_links long, n_src_pages long",
+        )
+    )
+    mentions = spark.createDataFrame(
+        [(1, "paris"), (2, "nope")], "mention_id long, surface string"
+    )
+    plan = _plan(resolve_links(mentions, prior))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the catalog side broadcasts
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_fs_score_is_shuffle_free_projection(spark):
+    """lk2's scoring contract: over already-blocked candidates,
+    field_agreements + fs_score compile to pure whole-stage-codegen
+    projections — zero exchanges, zero Python boundaries; the Bayes
+    factor rides the scan."""
+    from el.linkage import field_agreements, fs_score
+
+    cands = spark.createDataFrame(
+        [(1, 2, "a", "a", 5, 5)],
+        "l_id long, r_id long, l_city string, r_city string,"
+        " l_zip long, r_zip long",
+    )
+    out = fs_score(
+        field_agreements(cands, ["city", "zip"]),
+        {"city": (0.9, 0.1), "zip": (0.9, 0.2)},
+        prior=0.5,
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # codegen'd stages print as "*(n)" in executedPlan().toString()
+    assert "*(1) Project" in plan
