@@ -109,6 +109,9 @@ HEADLINE_OPTIONAL = [
     # value-frequency u-estimation aggregates + the per-pair Bayes
     # factor projection
     "lk2_fellegi_sunter",
+    # late-r5: sorted-neighborhood blocking — pins the range-partition
+    # global rank (no single-partition window) + successor equi-join
+    "snm1_sorted_neighborhood",
 ]
 
 

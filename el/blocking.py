@@ -204,3 +204,75 @@ def salted_join(
     )
     out = f.join(d, on=[key, "_salt"], how=how).drop("_salt")
     return out
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995, the
+    merge/purge method): order records by a sort key and emit every
+    pair whose positions in that order are less than ``window``
+    apart — the classic complement to hash blocking (equal keys) for
+    attributes where CLOSE keys mean likely duplicates (names,
+    timestamps, numeric codes). Multi-pass SNM = union several runs
+    with different keys, then dedup pairs.
+
+    Returns ``(a_id, b_id, a_key, b_key)`` with a before b in the
+    (key, id) total order; each record pairs with its window-1
+    successors, so output is exactly (n - w/2…) * (window-1) rows —
+    LINEAR in n, never quadratic. NULL keys are excluded (a NULL
+    sorts with nothing, the block-key NULL discipline).
+
+    Scale shape — the global rank WITHOUT a single-partition window
+    (the WindowExec all-to-one trap): range-partition + local sort on
+    (key, id), pin the partitioning (localCheckpoint), count rows per
+    partition (one tiny collect, bounded by the partition count),
+    then rank = partition offset + partition-LOCAL row_number. The
+    rank is invariant to where the sampled range boundaries fall
+    because (key, id) is a total order. Pairing is one explode of the
+    window-1 successor ranks + an equi-join on rank — shuffles on a
+    perfectly uniform integer key, immune to key skew by
+    construction (hot sort-key runs spread across ranks)."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    np_ = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .repartitionByRange(np_, "_k", "_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pid assignment for the offset map
+    )
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in ordered.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
+    omap = F.create_map(
+        *[F.lit(x) for pv in sorted(offsets.items()) for x in pv]
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_k", "_id")
+    ranked = ordered.withColumn(
+        "_rank",
+        (omap[F.col("_pid")] + F.row_number().over(w_local) - 1).cast("long"),
+    )
+    left = ranked.select(
+        F.col("_id").alias("a_id"),
+        F.col("_k").alias("a_key"),
+        F.explode(
+            F.array(*[F.col("_rank") + d for d in range(1, window)])
+        ).alias("_r2"),
+    )
+    right = ranked.select(
+        F.col("_id").alias("b_id"),
+        F.col("_k").alias("b_key"),
+        F.col("_rank").alias("_r2"),
+    )
+    return left.join(right, on="_r2").select("a_id", "b_id", "a_key", "b_key")

@@ -2324,6 +2324,56 @@ def lk2_fellegi_sunter(spark, sf_dir):
 
 
 @check(
+    "snm1_sorted_neighborhood",
+    oracle=r"""
+    WITH k AS (
+      SELECT doc_id AS id,
+             lang || ':' ||
+             substr(trim(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g')), 1, 8) AS srt
+      FROM documents
+    ), kk AS (
+      SELECT id, srt FROM k WHERE srt IS NOT NULL
+    ), r AS (
+      SELECT id, srt,
+             CAST(row_number() OVER (ORDER BY srt, id) - 1 AS BIGINT)
+               AS rnk
+      FROM kk
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           a.srt AS a_key, b.srt AS b_key
+    FROM r a JOIN r b
+      ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+    """,
+)
+def snm1_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (el.blocking.
+    sorted_neighborhood_pairs, Hernandez-Stolfo merge/purge) over the
+    documents table with the classic composite sort key lang +
+    8-char normalized-text prefix, window 4 — every record pairs with
+    its 3 successors in the (key, id) total order. The Spark plan
+    computes the global rank WITHOUT a single-partition window
+    (range-partition + offset + local row_number) and pairs via an
+    exploded successor-rank equi-join; DuckDB recomputes it with a
+    plain global window + theta join. Output linear in n, compared
+    hash-exactly."""
+    from el.blocking import sorted_neighborhood_pairs
+    from el.linkage import normalize_name
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("lang"),
+            F.lit(":"),
+            F.substring(normalize_name(F.col("text")), 1, 8),
+        ).alias("srt"),
+    )
+    return sorted_neighborhood_pairs(
+        docs, key_col="srt", id_col="doc_id", window=4
+    )
+
+
+@check(
     "ds1_hash_split",
     oracle="""
     SELECT doc_id,

@@ -162,3 +162,73 @@ def test_soundex_load_bearing_on_typo_heavy_tier(spark):
     r_sx = blocking_recall(labeled, keys_sx, mentions)
     assert r_nt < 0.9, f"tier not typo-heavy enough: name_token recall {r_nt}"
     assert r_sx >= 0.99, f"soundex did not restore recall: {r_sx}"
+
+
+# -- sorted-neighborhood (snm1) -------------------------------------------
+
+
+def _snm_df(spark, n=40):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("rid"),
+        # sort key with heavy ties (id%7) so tie-break order matters
+        F.concat(F.lit("k"), (F.col("id") % 7).cast("string")).alias("key"),
+    )
+
+
+def test_snm_linear_output_and_adjacency(spark):
+    from el.blocking import sorted_neighborhood_pairs
+
+    df = _snm_df(spark, 40)
+    w = 4
+    out = sorted_neighborhood_pairs(df, "key", "rid", window=w).collect()
+    # each of the n records pairs with its w-1 successors; the last
+    # w-1 records fall short by 1, 2, ..., w-1 pairs respectively
+    assert len(out) == 40 * (w - 1) - sum(range(1, w))
+    # reference rank: sort by (key, rid) in python
+    order = sorted(
+        ((f"k{i % 7}", i) for i in range(40))
+    )
+    pos = {rid: p for p, (_, rid) in enumerate(order)}
+    for r in out:
+        d = pos[r.b_id] - pos[r.a_id]
+        assert 1 <= d <= w - 1
+
+
+def test_snm_null_keys_excluded_and_window_guard(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from el.blocking import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "rid long, key string"
+    )
+    out = sorted_neighborhood_pairs(df, "key", "rid", window=2).collect()
+    assert [(r.a_id, r.b_id) for r in out] == [(1, 3)]
+    with _pt.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "key", "rid", window=1)
+
+
+def test_snm_deterministic_across_partitionings(spark):
+    from el.blocking import sorted_neighborhood_pairs
+
+    df = _snm_df(spark, 60)
+    a = sorted_neighborhood_pairs(df, "key", "rid", window=3, num_partitions=2)
+    b = sorted_neighborhood_pairs(df, "key", "rid", window=3, num_partitions=17)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_snm_no_single_partition_window(spark):
+    """The global rank must never collapse to one partition: the only
+    window in the plan is partitioned by the range-partition id."""
+    from el.blocking import sorted_neighborhood_pairs
+
+    df = _snm_df(spark, 40)
+    out = sorted_neighborhood_pairs(df, "key", "rid", window=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # a driver-global window prints 'Window [...], [_k ASC...' with no
+    # partition spec; ours partitions by _pid
+    assert "_pid" in plan.split("Window")[1][:400]
