@@ -112,6 +112,9 @@ HEADLINE_OPTIONAL = [
     # late-r5: sorted-neighborhood blocking — pins the range-partition
     # global rank (no single-partition window) + successor equi-join
     "snm1_sorted_neighborhood",
+    # late-r5: Monge-Elkan token-set similarity — pins the batched
+    # token-cross-product JW kernel (two Arrow passes, fence-audited)
+    "f13_monge_elkan",
 ]
 
 

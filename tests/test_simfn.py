@@ -169,3 +169,73 @@ def test_jw_oracle_inputs_stay_under_max_len():
             "the truncated kernel — truncate in the oracle SQL or raise "
             "JW_MAX_LEN"
         )
+
+
+def _duck_me(pairs):
+    con = duckdb.connect()
+    out = []
+    for a, b in pairs:
+        if not a or not b:
+            out.append(0.0)
+            continue
+        out.append(
+            con.execute(
+                """SELECT list_avg(list_transform(?::VARCHAR[], x ->
+                     list_max(list_transform(?::VARCHAR[], y ->
+                       jaro_winkler_similarity(x, y)))))""",
+                [list(a), list(b)],
+            ).fetchone()[0]
+        )
+    con.close()
+    return out
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=10), max_size=4),
+            st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=10), max_size=4),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_monge_elkan_matches_duckdb_bit_exactly(pairs):
+    from el.simfn import monge_elkan
+
+    got = monge_elkan([p[0] for p in pairs], [p[1] for p in pairs])
+    want = _duck_me(pairs)
+    # inner JW is bit-identical; the final mean's accumulation may
+    # differ from DuckDB's list_avg by <= 1 ulp for 3+ tokens
+    assert np.allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_monge_elkan_asymmetry_and_edges():
+    from el.simfn import monge_elkan
+
+    # asymmetric by definition: every 'acme' token finds itself in
+    # the bigger set, but not vice versa
+    ab = monge_elkan([["acme"]], [["acme", "zzz"]])[0]
+    ba = monge_elkan([["acme", "zzz"]], [["acme"]])[0]
+    assert ab == 1.0 and ba < 1.0
+    # empty / None sides score 0; identical sets score 1
+    out = monge_elkan(
+        [[], None, ["a"], ["paris", "tx"]],
+        [["x"], ["x"], [], ["paris", "tx"]],
+    )
+    assert out.tolist() == [0.0, 0.0, 0.0, 1.0]
+
+
+def test_monge_elkan_one_sided_row_does_not_corrupt_neighbors():
+    """Regression: a (ka>0, kb=0) row once injected a zero-length
+    reduceat segment, corrupting every row after it (['paris'] vs
+    ['paris'] scored 2.0)."""
+    from el.simfn import monge_elkan
+
+    out = monge_elkan(
+        [["smith", "jon"], ["a"], ["paris"]],
+        [["jon", "smyth"], [], ["paris"]],
+    )
+    assert out[1] == 0.0
+    assert out[2] == 1.0
