@@ -115,6 +115,13 @@ HEADLINE_OPTIONAL = [
     # late-r5: Monge-Elkan token-set similarity — pins the batched
     # token-cross-product JW kernel (two Arrow passes, fence-audited)
     "f13_monge_elkan",
+    # late-r5: meta-blocking (block purge + WEP edge pruning over the
+    # token-prefix postings self-join), golden-record fusion (reused
+    # cluster-key exchange), and the EM pattern-counts groupBy (lk3's
+    # corpus-sized step)
+    "mb1_meta_blocking",
+    "fu1_golden_record",
+    "lk3_gamma_patterns",
 ]
 
 

@@ -332,3 +332,118 @@ def fs_score(
             "match_prob", bk / (bk + F.lit(1.0 - lam))
         )
     return out
+
+
+def gamma_pattern_counts(gammas: DataFrame, fields: list[str]) -> DataFrame:
+    """Collapse candidate-pair comparison vectors to the bounded
+    (gamma-pattern -> exact count) table: one groupBy over the g_*
+    columns. With k fields the output has at most 2^k rows however
+    many pairs went in — this is the E-step input for estimate_em and
+    the Splink-style diagnostics table (which patterns dominate the
+    candidate set). Exact BIGINT counts, linear one-pass aggregate."""
+    return gammas.groupBy(*["g_" + f for f in fields]).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+def estimate_em(
+    gammas: DataFrame,
+    fields: list[str],
+    iters: int = 25,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.1,
+    eps: float = 1e-6,
+) -> tuple[dict[str, tuple[float, float]], float]:
+    """UNSUPERVISED m/u estimation by EM over the two-class
+    conditional-independence mixture (Winkler 1988; the estimation
+    loop behind Splink when no labels exist): candidate pairs are a
+    mixture of matches (field agreement prob m_f) and non-matches
+    (u_f) with mixing weight lambda; EM alternates pair-class
+    responsibilities (E) and frequency re-estimates (M).
+
+    Scale shape: the corpus-sized work is ONE exact groupBy —
+    gamma_pattern_counts — collapsing N pairs to <= 2^k pattern rows
+    (k = len(fields), the TF-IDF/bloom bounded-driver-state
+    discipline); EM then runs ``iters`` fixed iterations over that
+    tiny table driver-side in numpy. Deterministic: exact integer
+    counts + fixed iteration count + fixed field order => the same
+    doubles at any parallelism (pinned in tests). Estimates are
+    clamped to [eps, 1-eps] so degenerate fields (always/never
+    agreeing) cannot zero a Bayes factor.
+
+    Returns ``(params, lambda)`` with params mapping field ->
+    (m, u) — exactly fs_score's model-artifact shape."""
+    import numpy as np
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    rows = gamma_pattern_counts(gammas, fields).collect()
+    if not rows:
+        raise ValueError("no candidate pairs to estimate from")
+    # fixed row order => fixed float-summation order => bit-identical
+    # estimates at any parallelism (collect() order is not)
+    rows = sorted(rows, key=lambda r: tuple(r["g_" + f] for f in fields))
+    k = len(fields)
+    g = np.array(
+        [[r["g_" + f] for f in fields] for r in rows], dtype=np.float64
+    )  # (p, k) pattern matrix
+    c = np.array([r["n_pairs"] for r in rows], dtype=np.float64)  # (p,)
+    m = np.full(k, float(init_m))
+    u = np.full(k, float(init_u))
+    lam = float(init_lambda)
+    lo, hi = float(eps), 1.0 - float(eps)
+    for _ in range(iters):
+        # E: responsibility of the match class per pattern
+        pm = np.prod(np.where(g == 1.0, m, 1.0 - m), axis=1) * lam
+        pu = np.prod(np.where(g == 1.0, u, 1.0 - u), axis=1) * (1.0 - lam)
+        r = pm / (pm + pu)
+        # M: weighted frequency re-estimates
+        wm, wu = c * r, c * (1.0 - r)
+        lam = min(max(float(wm.sum() / c.sum()), lo), hi)
+        m = np.clip((wm[:, None] * g).sum(axis=0) / wm.sum(), lo, hi)
+        u = np.clip((wu[:, None] * g).sum(axis=0) / wu.sum(), lo, hi)
+    params = {f: (float(m[i]), float(u[i])) for i, f in enumerate(fields)}
+    return params, lam
+
+
+def fuse_records(
+    df: DataFrame, cluster_col: str, attrs: list[str]
+) -> DataFrame:
+    """Golden-record attribute fusion (the survivorship step AFTER
+    dd8 picks clusters): per cluster, each attribute independently
+    resolves to its most frequent non-NULL value, ties broken by the
+    smaller value — the classic majority-vote conflict-resolution
+    strategy of data-fusion surveys (Bleiholder & Naumann 2008),
+    deterministic end to end. Records with a NULL attribute abstain
+    from that attribute's vote; a cluster whose every record
+    abstains fuses to NULL.
+
+    Returns one row per cluster: ``(<cluster_col>, n_records,
+    <attr>...)``. Scale shape: one count aggregate plus, per
+    attribute, a (cluster, value) count -> per-cluster rank-1 window
+    -> equi-join back on the cluster key — every stage shuffles on
+    the SAME cluster key, so the exchange is paid once and reused;
+    nothing is ever collected."""
+    if not attrs:
+        raise ValueError("attrs must be non-empty")
+    base = df.groupBy(F.col(cluster_col)).agg(
+        F.count("*").cast("long").alias("n_records")
+    )
+    out = base
+    for a in attrs:
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.col("_cnt").desc(), F.col(a).asc()
+        )
+        winner = (
+            df.where(F.col(a).isNotNull())
+            .groupBy(cluster_col, a)
+            .agg(F.count("*").alias("_cnt"))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(cluster_col, a)
+        )
+        out = out.join(winner, on=cluster_col, how="left")
+    return out

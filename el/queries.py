@@ -4071,6 +4071,215 @@ def s7_warc_roundtrip(spark, sf_dir):
     )
 
 
+@check(
+    "mb1_meta_blocking",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT doc_id AS id, substr(w, 1, 4) AS k
+      FROM (SELECT doc_id,
+                   unnest(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) >= 3)) AS w
+            FROM documents WHERE text IS NOT NULL)
+    ), bs AS (
+      SELECT k, count(*) AS c FROM p GROUP BY k
+    ), pk AS (
+      SELECT p.id, p.k FROM p JOIN bs USING (k)
+      WHERE c BETWEEN 2 AND 100
+    ), nb AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS nblocks FROM pk GROUP BY id
+    ), e AS (
+      SELECT a.id AS a_id, b.id AS b_id, CAST(count(*) AS BIGINT) AS cbs
+      FROM pk a JOIN pk b ON a.k = b.k AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(coalesce(sum(cbs), 0) AS BIGINT) AS sum_cbs
+      FROM e
+    )
+    SELECT e.a_id, e.b_id, e.cbs,
+           na.nblocks AS a_nblocks, nbb.nblocks AS b_nblocks
+    FROM e
+    CROSS JOIN s
+    JOIN nb na ON na.id = e.a_id
+    JOIN nb nbb ON nbb.id = e.b_id
+    WHERE e.cbs * s.n_edges >= s.sum_cbs
+    """,
+)
+def mb1_meta_blocking(spark, sf_dir):
+    """Meta-blocking with block purging + weighted edge pruning
+    (el.blocking.meta_blocking_prune, Papadakis et al. TKDE 2014)
+    over the redundancy-positive token-prefix blocking of the
+    documents table: postings are the distinct 4-char prefixes of
+    normalized tokens (len >= 3, the name_token discipline), blocks
+    outside [2, 100] members are purged, candidate edges weighted by
+    CBS (shared purged-surviving blocks) and kept iff cbs >= the mean
+    edge weight — compared as the exact integer cross-multiplication
+    cbs * n_edges >= sum_cbs on BOTH engines, so every output column
+    is a hash-exact BIGINT."""
+    from el.blocking import meta_blocking_prune
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+        ).alias("w"),
+    ).where(F.length("w") >= 3).select(
+        "id", F.substring("w", 1, 4).alias("block_key")
+    )
+    return meta_blocking_prune(
+        postings, id_col="id", key_col="block_key",
+        min_block=2, max_block=100, prune="wep",
+    )
+
+
+@check(
+    "fu1_golden_record",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey % 400 AS cluster_id,
+             c_mktsegment, c_nationkey
+      FROM customer
+    ), n AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_records
+      FROM base GROUP BY cluster_id
+    ), seg AS (
+      SELECT cluster_id, c_mktsegment FROM (
+        SELECT cluster_id, c_mktsegment,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY count(*) DESC, c_mktsegment ASC) AS rk
+        FROM base WHERE c_mktsegment IS NOT NULL
+        GROUP BY cluster_id, c_mktsegment
+      ) WHERE rk = 1
+    ), nat AS (
+      SELECT cluster_id, c_nationkey FROM (
+        SELECT cluster_id, c_nationkey,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY count(*) DESC, c_nationkey ASC) AS rk
+        FROM base WHERE c_nationkey IS NOT NULL
+        GROUP BY cluster_id, c_nationkey
+      ) WHERE rk = 1
+    )
+    SELECT n.cluster_id, n.n_records, seg.c_mktsegment, nat.c_nationkey
+    FROM n
+    LEFT JOIN seg USING (cluster_id)
+    LEFT JOIN nat USING (cluster_id)
+    """,
+)
+def fu1_golden_record(spark, sf_dir):
+    """Golden-record attribute fusion (el.linkage.fuse_records): the
+    conflict-resolution step after clustering — per synthetic cluster
+    (c_custkey % 400, giving every cluster multiple colliding
+    records), each attribute fuses independently to its most frequent
+    non-NULL value with the (count DESC, value ASC) deterministic tie
+    break, the majority-vote strategy of the data-fusion literature
+    (Bleiholder & Naumann 2008). DuckDB recomputes both per-attribute
+    votes with plain windows; counts are exact BIGINTs and the fused
+    values exact column values, so the row set is hash-exact."""
+    from el.linkage import fuse_records
+
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 400).alias("cluster_id"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    return fuse_records(
+        cust, "cluster_id", ["c_mktsegment", "c_nationkey"]
+    )
+
+
+@check(
+    "lk3_gamma_patterns",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id AS id,
+             'c' || CAST(doc_id%13 AS VARCHAR) AS city,
+             doc_id%97 AS zip,
+             's' || CAST(doc_id%5 AS VARCHAR) AS seg
+      FROM documents
+    ), r AS (
+      SELECT doc_id AS id,
+             CASE WHEN doc_id%17 = 0 THEN NULL
+                  WHEN doc_id%7 = 0
+                    THEN 'c' || CAST((doc_id+1)%13 AS VARCHAR)
+                  ELSE 'c' || CAST(doc_id%13 AS VARCHAR) END AS city,
+             CASE WHEN doc_id%11 = 0 THEN (doc_id+3)%97
+                  ELSE doc_id%97 END AS zip,
+             CASE WHEN doc_id%3 = 0
+                    THEN 's' || CAST((doc_id+1)%5 AS VARCHAR)
+                  ELSE 's' || CAST(doc_id%5 AS VARCHAR) END AS seg
+      FROM documents
+    ), cand AS (
+      SELECT l.id AS l_id, r.id AS r_id,
+             l.city AS l_city, r.city AS r_city,
+             l.zip AS l_zip, r.zip AS r_zip,
+             l.seg AS l_seg, r.seg AS r_seg
+      FROM l JOIN r ON r.id = l.id OR r.id = l.id + 1
+    )
+    SELECT
+      CAST(CASE WHEN l_city IS NOT NULL AND r_city IS NOT NULL
+                AND l_city = r_city THEN 1 ELSE 0 END AS INT) AS g_city,
+      CAST(CASE WHEN l_zip IS NOT NULL AND r_zip IS NOT NULL
+                AND l_zip = r_zip THEN 1 ELSE 0 END AS INT) AS g_zip,
+      CAST(CASE WHEN l_seg IS NOT NULL AND r_seg IS NOT NULL
+                AND l_seg = r_seg THEN 1 ELSE 0 END AS INT) AS g_seg,
+      CAST(count(*) AS BIGINT) AS n_pairs
+    FROM cand
+    GROUP BY 1, 2, 3
+    """,
+)
+def lk3_gamma_patterns(spark, sf_dir):
+    """Gamma-pattern counts (el.linkage.gamma_pattern_counts) over
+    lk2's synthetic noisy-re-observation candidate set — the bounded
+    (<= 2^k rows) E-step input to the UNSUPERVISED Winkler-1988 EM
+    estimation of m/u (el.linkage.estimate_em, the Splink
+    no-labels path). The EM itself runs driver-side over this tiny
+    exact-count table and is pytest-pinned (pure-python parity,
+    planted-parameter recovery, partition invariance); the corpus-
+    sized work — this one linear groupBy — is what the oracle
+    hash-checks."""
+    from el.linkage import field_agreements, gamma_pattern_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    left = docs.select(
+        did.alias("id"),
+        F.concat(F.lit("c"), s(did % 13)).alias("city"),
+        (did % 97).alias("zip"),
+        F.concat(F.lit("s"), s(did % 5)).alias("seg"),
+    )
+    right = docs.select(
+        did.alias("id"),
+        F.when(did % 17 == 0, F.lit(None).cast("string"))
+        .when(did % 7 == 0, F.concat(F.lit("c"), s((did + 1) % 13)))
+        .otherwise(F.concat(F.lit("c"), s(did % 13)))
+        .alias("city"),
+        F.when(did % 11 == 0, (did + 3) % 97)
+        .otherwise(did % 97)
+        .alias("zip"),
+        F.when(did % 3 == 0, F.concat(F.lit("s"), s((did + 1) % 5)))
+        .otherwise(F.concat(F.lit("s"), s(did % 5)))
+        .alias("seg"),
+    )
+    fields = ["city", "zip", "seg"]
+    lkeys = left.select(
+        F.col("id").alias("l_id"),
+        F.explode(F.array(F.col("id"), F.col("id") + 1)).alias("_rk"),
+        *[F.col(f).alias("l_" + f) for f in fields],
+    )
+    rkeys = right.select(
+        F.col("id").alias("r_id"),
+        *[F.col(f).alias("r_" + f) for f in fields],
+    )
+    cand = lkeys.join(rkeys, lkeys["_rk"] == rkeys["r_id"]).drop("_rk")
+    return gamma_pattern_counts(field_agreements(cand, fields), fields)
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 # ---------------------------------------------------------------------------

@@ -232,3 +232,79 @@ def test_snm_no_single_partition_window(spark):
     # a driver-global window prints 'Window [...], [_k ASC...' with no
     # partition spec; ours partitions by _pid
     assert "_pid" in plan.split("Window")[1][:400]
+
+
+def _mb_postings(spark):
+    # record -> blocks; block sizes: hot (6 members, purged at
+    # max_block=5), pair blocks, and a singleton (purged at min_block)
+    rows = []
+    for i in range(1, 7):
+        rows.append((i, "hot"))        # size-6 block
+    rows += [
+        (1, "ab"), (2, "ab"),          # {1,2} share ab
+        (1, "cd"), (2, "cd"),          # {1,2} share cd -> cbs 2
+        (3, "ef"), (4, "ef"),          # {3,4} share ef -> cbs 1
+        (5, "solo"),                   # singleton, purged
+        (1, "ab"),                     # duplicate posting, dropped
+    ]
+    return spark.createDataFrame(rows, "id long, block_key string")
+
+
+def test_meta_blocking_purge_and_cbs(spark):
+    from el.blocking import meta_blocking_prune
+
+    out = meta_blocking_prune(
+        _mb_postings(spark), id_col="id", key_col="block_key",
+        min_block=2, max_block=5, prune="none",
+    )
+    got = {(r["a_id"], r["b_id"]): r for r in out.collect()}
+    # the hot block contributed nothing (purged), solo nothing
+    assert set(got) == {(1, 2), (3, 4)}
+    assert got[(1, 2)]["cbs"] == 2          # ab + cd, duplicate ignored
+    assert got[(3, 4)]["cbs"] == 1
+    # per-record block counts AFTER the purge
+    assert got[(1, 2)]["a_nblocks"] == 2 and got[(1, 2)]["b_nblocks"] == 2
+    assert got[(3, 4)]["a_nblocks"] == 1 and got[(3, 4)]["b_nblocks"] == 1
+
+
+def test_meta_blocking_wep_keeps_at_least_mean(spark):
+    from el.blocking import meta_blocking_prune
+
+    # edges: (1,2) cbs 2, (3,4) cbs 1 -> mean 1.5 -> WEP keeps (1,2)
+    out = meta_blocking_prune(
+        _mb_postings(spark), id_col="id", key_col="block_key",
+        min_block=2, max_block=5, prune="wep",
+    )
+    assert [(r["a_id"], r["b_id"]) for r in out.collect()] == [(1, 2)]
+
+
+def test_meta_blocking_true_pair_survives_hot_block_purge(spark):
+    from el.blocking import meta_blocking_prune
+
+    # the meta-blocking premise: a true pair co-occurring in a purged
+    # stop-word block ALSO co-occurs in rarer blocks and survives
+    rows = [(i, "stop") for i in range(1, 12)]
+    rows += [(1, "rare1"), (2, "rare1"), (1, "rare2"), (2, "rare2")]
+    post = spark.createDataFrame(rows, "id long, block_key string")
+    out = meta_blocking_prune(
+        post, id_col="id", key_col="block_key",
+        min_block=2, max_block=10, prune="wep",
+    ).collect()
+    assert [(r["a_id"], r["b_id"]) for r in out] == [(1, 2)]
+
+
+def test_meta_blocking_guards_and_partition_invariance(spark):
+    import pytest as _pt
+
+    from el.blocking import meta_blocking_prune
+
+    post = _mb_postings(spark)
+    with _pt.raises(ValueError):
+        meta_blocking_prune(post, prune="bogus")
+    with _pt.raises(ValueError):
+        meta_blocking_prune(post, min_block=1)
+    a = meta_blocking_prune(post.repartition(1), min_block=2,
+                            max_block=5).collect()
+    b = meta_blocking_prune(post.repartition(13), min_block=2,
+                            max_block=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

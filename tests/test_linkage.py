@@ -245,3 +245,151 @@ def test_fs_end_to_end_true_pairs_outscore_decoys(spark):
     best_true = max(r.match_prob for r in st.collect())
     assert best_true > max(r.match_prob for r in sd.collect())
     assert best_true > 0.9
+
+
+def test_fuse_records_majority_vote_and_tiebreak(spark):
+    from el.linkage import fuse_records
+
+    df = spark.createDataFrame(
+        [
+            # cluster 1: 'acme' wins city 2-1; zip tie 10/20 -> min
+            (1, "acme", 10),
+            (1, "acme", 20),
+            (1, "acmee", None),
+            # cluster 2: only NULL city -> fused NULL; zip 7
+            (2, None, 7),
+        ],
+        "cluster long, name string, zip int",
+    )
+    got = {r["cluster"]: r for r in
+           fuse_records(df, "cluster", ["name", "zip"]).collect()}
+    assert got[1]["n_records"] == 3
+    assert got[1]["name"] == "acme"
+    assert got[1]["zip"] == 10          # count tie, smaller value wins
+    assert got[2]["name"] is None       # every record abstained
+    assert got[2]["zip"] == 7
+    with pytest.raises(ValueError):
+        fuse_records(df, "cluster", [])
+
+
+def _em_gammas(spark, n=4000):
+    # deterministic planted mixture: pairs i in [0, n); matches are
+    # i % 4 == 0 (lambda = 0.25). Hash-style Bernoulli from modular
+    # arithmetic (no rand()): field a agrees on matches unless i%10==1
+    # (m_a = 0.9), on non-matches iff i%5==0 (u_a = 0.2); field b
+    # m_b = 0.8 (i%5 in {1..4}... via i%5!=1), u_b = 0.1 (i%10==3).
+    # three fields: two-class EM over binary indicators needs >= 3
+    # conditionally independent fields to be identifiable (the
+    # classic Fellegi-Sunter 3-field condition). Draws are md5-hash
+    # Bernoullis — deterministic AND (unlike modular-arithmetic
+    # patterns) independent across fields, matching the model EM fits.
+    import hashlib
+
+    def u01(i, tag):
+        h = hashlib.md5(f"{tag}:{i}".encode()).hexdigest()
+        return int(h[:8], 16) / 2**32
+
+    m_p = {"a": 0.9, "b": 0.8, "c": 0.75}
+    u_p = {"a": 0.2, "b": 0.13, "c": 0.14}
+    rows = []
+    for i in range(n):
+        match = u01(i, "lam") < 0.25
+        p = m_p if match else u_p
+        rows.append(
+            (i, int(match))
+            + tuple(int(u01(i, f) < p[f]) for f in ("a", "b", "c"))
+        )
+    return spark.createDataFrame(
+        rows, "pair long, is_match int, g_a int, g_b int, g_c int"
+    )
+
+
+def test_gamma_pattern_counts_bounded_and_exact(spark):
+    from el.linkage import gamma_pattern_counts
+
+    g = _em_gammas(spark, 400)
+    pats = gamma_pattern_counts(g, ["a", "b"]).collect()
+    assert len(pats) <= 4
+    assert sum(r["n_pairs"] for r in pats) == 400
+
+
+def test_estimate_em_matches_pure_python_reference(spark):
+    from el.linkage import estimate_em, gamma_pattern_counts
+
+    g = _em_gammas(spark)
+    params, lam = estimate_em(g, ["a", "b"], iters=25)
+
+    # independent pure-python EM over the same pattern counts
+    pats = {
+        (r["g_a"], r["g_b"]): r["n_pairs"]
+        for r in gamma_pattern_counts(g, ["a", "b"]).collect()
+    }
+    m, u, l2 = [0.9, 0.9], [0.1, 0.1], 0.1
+    eps = 1e-6
+    for _ in range(25):
+        wm_tot = wu_tot = 0.0
+        wm_f, wu_f = [0.0, 0.0], [0.0, 0.0]
+        for (ga, gb), c in pats.items():
+            gs = (ga, gb)
+            pm, pu = l2, 1.0 - l2
+            for j in range(2):
+                pm *= m[j] if gs[j] == 1 else 1.0 - m[j]
+                pu *= u[j] if gs[j] == 1 else 1.0 - u[j]
+            r = pm / (pm + pu)
+            wm_tot += c * r
+            wu_tot += c * (1.0 - r)
+            for j in range(2):
+                if gs[j] == 1:
+                    wm_f[j] += c * r
+                    wu_f[j] += c * (1.0 - r)
+        total = wm_tot + wu_tot
+        l2 = min(max(wm_tot / total, eps), 1.0 - eps)
+        m = [min(max(wm_f[j] / wm_tot, eps), 1.0 - eps) for j in range(2)]
+        u = [min(max(wu_f[j] / wu_tot, eps), 1.0 - eps) for j in range(2)]
+    assert lam == pytest.approx(l2, abs=1e-12)
+    for j, f in enumerate(["a", "b"]):
+        assert params[f][0] == pytest.approx(m[j], abs=1e-12)
+        assert params[f][1] == pytest.approx(u[j], abs=1e-12)
+
+
+def test_estimate_em_recovers_planted_parameters(spark):
+    from el.linkage import estimate_em, fs_score
+
+    fields = ["a", "b", "c"]
+    g = _em_gammas(spark)
+    params, lam = estimate_em(g, fields, iters=60)
+    # ground truth known per row: EM (no labels) must land near the
+    # EMPIRICAL conditional agreement rates of the planted mixture
+    rows = g.collect()
+    hit = [r for r in rows if r["is_match"] == 1]
+    miss = [r for r in rows if r["is_match"] == 0]
+    assert lam == pytest.approx(len(hit) / len(rows), abs=0.1)
+    for f in fields:
+        m_emp = sum(r["g_" + f] for r in hit) / len(hit)
+        u_emp = sum(r["g_" + f] for r in miss) / len(miss)
+        assert params[f][0] == pytest.approx(m_emp, abs=0.1)
+        assert params[f][1] == pytest.approx(u_emp, abs=0.1)
+        assert params[f][0] > params[f][1]
+    # the estimates compose with fs_score (m > u guard passes) and
+    # true matches outscore non-matches on average
+    scored = fs_score(g, params, prior=lam).collect()
+    shit = [r for r in scored if r["is_match"] == 1]
+    smiss = [r for r in scored if r["is_match"] == 0]
+    avg = lambda xs: sum(x["match_prob"] for x in xs) / len(xs)  # noqa: E731
+    assert avg(shit) > 2 * avg(smiss)
+    assert avg(shit) > 0.6
+
+
+def test_estimate_em_partition_invariant_and_guarded(spark):
+    from el.linkage import estimate_em
+
+    g = _em_gammas(spark, 800)
+    p1, l1 = estimate_em(g.repartition(1), ["a", "b"], iters=10)
+    p2, l2 = estimate_em(g.repartition(17), ["a", "b"], iters=10)
+    assert p1 == p2 and l1 == l2    # exact counts -> identical doubles
+    with pytest.raises(ValueError):
+        estimate_em(g, [], iters=10)
+    with pytest.raises(ValueError):
+        estimate_em(g, ["a"], iters=0)
+    with pytest.raises(ValueError):
+        estimate_em(g.where("pair < 0"), ["a"], iters=5)

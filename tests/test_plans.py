@@ -439,3 +439,23 @@ def test_fs_score_is_shuffle_free_projection(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # codegen'd stages print as "*(n)" in executedPlan().toString()
     assert "*(1) Project" in plan
+
+
+def test_meta_blocking_plan_no_cartesian_totals_broadcast(spark):
+    """mb1's plan contract: the pair self-join stays an equi-join on
+    the purged block key (never CartesianProduct — the quadratic
+    blowup is bounded by max_block), and the WEP threshold attaches
+    via a BROADCAST of the 1-row totals aggregate, never a shuffle
+    of the edge set against it. No Python boundaries anywhere."""
+    from el.blocking import meta_blocking_prune
+
+    post = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "y"), (1, "y")],
+        "id long, block_key string",
+    )
+    plan = _plan(meta_blocking_prune(post, min_block=2, max_block=10))
+    assert "CartesianProduct" not in plan
+    # the 1-row totals frame rides a broadcast nested-loop (no key),
+    # which is the cheap side of a 1-row cross attach
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
