@@ -120,6 +120,7 @@ HEADLINE_OPTIONAL = [
     # cluster-key exchange), and the EM pattern-counts groupBy (lk3's
     # corpus-sized step)
     "mb1_meta_blocking",
+    "mb2_meta_blocking_wnp",
     "fu1_golden_record",
     "lk3_gamma_patterns",
 ]

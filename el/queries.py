@@ -4119,8 +4119,18 @@ def mb1_meta_blocking(spark, sf_dir):
     is a hash-exact BIGINT."""
     from el.blocking import meta_blocking_prune
 
+    return meta_blocking_prune(
+        _mb_postings(spark, sf_dir), id_col="id", key_col="block_key",
+        min_block=2, max_block=100, prune="wep",
+    )
+
+
+def _mb_postings(spark, sf_dir):
+    """Shared mb1/mb2 posting list: distinct 4-char prefixes of
+    normalized tokens (len >= 3, the name_token discipline) of the
+    documents table — a redundancy-positive block collection."""
     docs = _t(spark, sf_dir, "documents")
-    postings = docs.where(F.col("text").isNotNull()).select(
+    return docs.where(F.col("text").isNotNull()).select(
         F.col("doc_id").alias("id"),
         F.explode(
             F.split(F.lower(F.col("text")), "[^a-z0-9]+")
@@ -4128,9 +4138,64 @@ def mb1_meta_blocking(spark, sf_dir):
     ).where(F.length("w") >= 3).select(
         "id", F.substring("w", 1, 4).alias("block_key")
     )
+
+
+@check(
+    "mb2_meta_blocking_wnp",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT doc_id AS id, substr(w, 1, 4) AS k
+      FROM (SELECT doc_id,
+                   unnest(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) >= 3)) AS w
+            FROM documents WHERE text IS NOT NULL)
+    ), bs AS (
+      SELECT k, count(*) AS c FROM p GROUP BY k
+    ), pk AS (
+      SELECT p.id, p.k FROM p JOIN bs USING (k)
+      WHERE c BETWEEN 2 AND 100
+    ), nb AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS nblocks FROM pk GROUP BY id
+    ), e AS (
+      SELECT a.id AS a_id, b.id AS b_id, CAST(count(*) AS BIGINT) AS cbs
+      FROM pk a JOIN pk b ON a.k = b.k AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), inc AS (
+      SELECT a_id AS node, cbs FROM e
+      UNION ALL
+      SELECT b_id AS node, cbs FROM e
+    ), ns AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS ne,
+             CAST(sum(cbs) AS BIGINT) AS s
+      FROM inc GROUP BY node
+    )
+    SELECT e.a_id, e.b_id, e.cbs,
+           na.nblocks AS a_nblocks, nbb.nblocks AS b_nblocks
+    FROM e
+    JOIN ns sa ON sa.node = e.a_id
+    JOIN ns sb ON sb.node = e.b_id
+    JOIN nb na ON na.id = e.a_id
+    JOIN nb nbb ON nbb.id = e.b_id
+    WHERE e.cbs * sa.ne >= sa.s OR e.cbs * sb.ne >= sb.s
+    """,
+)
+def mb2_meta_blocking_wnp(spark, sf_dir):
+    """Weighted NODE pruning (el.blocking.meta_blocking_prune with
+    prune="wnp" — the node-centric scheme of the same Papadakis TKDE
+    2014 paper mb1 implements): same purged CBS-weighted edge set as
+    mb1, but each node keeps incident edges with weight >= that
+    node's mean incident weight and an edge survives if EITHER
+    endpoint keeps it. Both engines compare per endpoint with the
+    exact integer cross-multiply cbs * ne >= sum, so the survivor
+    set and every output column are hash-exact BIGINTs; on the same
+    postings WNP keeps more edges than mb1's global-mean WEP cut
+    (union semantics), which the pytest suite pins."""
+    from el.blocking import meta_blocking_prune
+
     return meta_blocking_prune(
-        postings, id_col="id", key_col="block_key",
-        min_block=2, max_block=100, prune="wep",
+        _mb_postings(spark, sf_dir), id_col="id", key_col="block_key",
+        min_block=2, max_block=100, prune="wnp",
     )
 
 

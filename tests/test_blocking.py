@@ -308,3 +308,66 @@ def test_meta_blocking_guards_and_partition_invariance(spark):
     b = meta_blocking_prune(post.repartition(13), min_block=2,
                             max_block=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_meta_blocking_wnp_hub_mean_cannot_veto(spark):
+    from el.blocking import meta_blocking_prune
+
+    # edges (1,2) cbs 3; (1,3) cbs 1; (2,3) cbs 1. Node means: 1 and
+    # 2 -> 2.0 (hubs inflated by the strong edge), 3 -> 1.0. WEP's
+    # global mean 5/3 drops both weight-1 edges; WNP keeps them via
+    # endpoint 3 (1 >= 1.0) — the union semantics the paper specifies
+    rows = [(1, "x1"), (2, "x1"), (1, "x2"), (2, "x2"),
+            (1, "x3"), (2, "x3"), (1, "y"), (3, "y"), (2, "z"), (3, "z")]
+    post = spark.createDataFrame(rows, "id long, block_key string")
+    wnp = meta_blocking_prune(post, min_block=2, max_block=10,
+                              prune="wnp")
+    got = sorted((r["a_id"], r["b_id"], r["cbs"]) for r in wnp.collect())
+    assert got == [(1, 2, 3), (1, 3, 1), (2, 3, 1)]
+    wep = meta_blocking_prune(post, min_block=2, max_block=10,
+                              prune="wep")
+    assert [(r["a_id"], r["b_id"]) for r in wep.collect()] == [(1, 2)]
+
+
+def test_meta_blocking_wnp_matches_python_reference(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from el.blocking import meta_blocking_prune
+
+    # deterministic md5-derived postings: 30 records x 6 draws over
+    # 37 keys — hot, pair-sized, and singleton blocks all occur
+    rows = []
+    for i in range(30):
+        for j in range(6):
+            h = hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+            rows.append((i, "k" + str(int(h[:4], 16) % 37)))
+    post = spark.createDataFrame(rows, "id long, block_key string")
+    out = meta_blocking_prune(post, min_block=2, max_block=12,
+                              prune="wnp")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["cbs"]) for r in out.collect()
+    )
+    memb = defaultdict(set)
+    for i, k in set(rows):
+        memb[k].add(i)
+    cbs = defaultdict(int)
+    for v in memb.values():
+        if not (2 <= len(v) <= 12):
+            continue
+        vs = sorted(v)
+        for ai in range(len(vs)):
+            for bi in range(ai + 1, len(vs)):
+                cbs[(vs[ai], vs[bi])] += 1
+    nstat = defaultdict(lambda: [0, 0])
+    for (a, b), w in cbs.items():
+        for n in (a, b):
+            nstat[n][0] += 1
+            nstat[n][1] += w
+    ref = sorted(
+        (a, b, w)
+        for (a, b), w in cbs.items()
+        if w * nstat[a][0] >= nstat[a][1]
+        or w * nstat[b][0] >= nstat[b][1]
+    )
+    assert got and got == ref
