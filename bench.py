@@ -123,6 +123,11 @@ HEADLINE_OPTIONAL = [
     "mb2_meta_blocking_wnp",
     "fu1_golden_record",
     "lk3_gamma_patterns",
+    # late-r5 cluster audit: cohesion/bridge detection + the
+    # cross-cluster missed-merge rollup (two id-keyed equi-joins +
+    # cluster-key groupBys)
+    "er6_cluster_cohesion",
+    "er7_cross_cluster_edges",
 ]
 
 

@@ -177,3 +177,129 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def cluster_cohesion(
+    clusters: DataFrame,
+    edges: DataFrame,
+    id_col: str = "mention_id",
+    cluster_col: str = "cluster_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Per-cluster cohesion audit — the production check that a
+    transitive closure did not over-merge: connected components
+    guarantee only CONNECTIVITY, so one spurious bridge edge welds
+    two entities into a chain whose intra-edge density collapses.
+    This rolls the verified edge set back onto the cluster
+    assignment and reports, per cluster, exact integers a reviewer
+    (or a downstream splitter) can threshold on:
+
+    ``(cluster_id, n_members, n_possible_pairs, n_intra_edges
+    [, min_score, max_score])`` — n_possible_pairs = C(n,2), so
+    density = n_intra_edges / n_possible_pairs and a big cluster
+    whose density is near 1/n_members is a chain, not a clique.
+    min_score (when ``score_col`` is given) surfaces the weakest
+    verified edge inside the cluster — the bridge candidate.
+
+    Edges whose endpoints sit in DIFFERENT clusters (or are missing
+    from ``clusters``) are excluded here — cross_cluster_edges
+    reports those. Scale shape: two equi-joins of the edge table
+    against the (id -> cluster) map (shuffle on the id keys) and two
+    linear groupBys on the cluster key; min/max are order-invariant
+    aggregates, every other output an exact BIGINT, so results are
+    hash-identical at any parallelism."""
+    c = clusters.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cl")
+    )
+    sizes = c.groupBy("_cl").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    score = [F.col(score_col).alias("_s")] if score_col else []
+    e = edges.select(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b"), *score
+    )
+    ej = e.join(
+        c.select(F.col("_id").alias("_a"), F.col("_cl").alias("_ca")),
+        on="_a",
+    ).join(
+        c.select(F.col("_id").alias("_b"), F.col("_cl").alias("_cb")),
+        on="_b",
+    )
+    aggs = [F.count("*").cast("long").alias("n_intra_edges")]
+    if score_col:
+        aggs += [F.min("_s").alias("min_score"),
+                 F.max("_s").alias("max_score")]
+    intra = (
+        ej.where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_cl"))
+        .agg(*aggs)
+    )
+    out = sizes.join(intra, on="_cl", how="left")
+    n = F.col("n_members")
+    cols = [
+        F.col("_cl").alias(cluster_col),
+        "n_members",
+        (n * (n - F.lit(1)) / F.lit(2)).cast("long").alias(
+            "n_possible_pairs"
+        ),
+        F.coalesce("n_intra_edges", F.lit(0)).cast("long").alias(
+            "n_intra_edges"
+        ),
+    ]
+    if score_col:
+        cols += ["min_score", "max_score"]
+    return out.select(*cols)
+
+
+def cross_cluster_edges(
+    clusters: DataFrame,
+    edges: DataFrame,
+    id_col: str = "mention_id",
+    cluster_col: str = "cluster_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Missed-merge candidate report, the complement of
+    cluster_cohesion: verified edges whose endpoints landed in
+    DIFFERENT clusters (possible only when the closure ran on a
+    higher-threshold edge subset, an incremental absorb re-capped a
+    block, or the clusters came from an external system — auditing
+    that drift is exactly this operator's job). Rolls them up per
+    unordered cluster pair:
+
+    ``(cluster_a, cluster_b, n_cross_edges[, max_score])`` with
+    cluster_a < cluster_b; max_score ranks which cluster pairs most
+    deserve a merge review. Same two equi-joins as cluster_cohesion
+    then one linear groupBy on the canonicalized pair key; exact
+    BIGINT counts, order-invariant max."""
+    c = clusters.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cl")
+    )
+    score = [F.col(score_col).alias("_s")] if score_col else []
+    e = edges.select(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b"), *score
+    )
+    ej = (
+        e.join(
+            c.select(F.col("_id").alias("_a"), F.col("_cl").alias("_ca")),
+            on="_a",
+        )
+        .join(
+            c.select(F.col("_id").alias("_b"), F.col("_cl").alias("_cb")),
+            on="_b",
+        )
+        .where(F.col("_ca") != F.col("_cb"))
+    )
+    aggs = [F.count("*").cast("long").alias("n_cross_edges")]
+    if score_col:
+        aggs.append(F.max("_s").alias("max_score"))
+    return (
+        ej.groupBy(
+            F.least("_ca", "_cb").alias("cluster_a"),
+            F.greatest("_ca", "_cb").alias("cluster_b"),
+        )
+        .agg(*aggs)
+    )

@@ -4345,6 +4345,106 @@ def lk3_gamma_patterns(spark, sf_dir):
     return gamma_pattern_counts(field_agreements(cand, fields), fields)
 
 
+def _audit_fixture(spark, sf_dir):
+    """Shared er6/er7 fixture: synthetic clusters (doc_id DIV 5 —
+    contiguous 5-member entities) and a verified-edge table from
+    successor offsets +1/+3 with an integer score, so both intra
+    (offset inside the 5-block) and cross (offset straddling a
+    boundary) edges occur and every audited column is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    clusters = docs.select(
+        did.alias("id"), F.expr("doc_id DIV 5").alias("cluster_id")
+    )
+    edges = docs.select(
+        did.alias("a_id"),
+        F.explode(F.array(did + 1, did + 3)).alias("b_id"),
+    ).select(
+        "a_id",
+        "b_id",
+        ((F.col("a_id") % 7) + (F.col("b_id") % 5) + 1)
+        .cast("int")
+        .alias("s"),
+    )
+    return clusters, edges
+
+
+_AUDIT_SQL_PREFIX = """
+    WITH c AS (SELECT doc_id AS id, doc_id // 5 AS cl FROM documents),
+    e AS (
+      SELECT a.doc_id AS a_id, a.doc_id + o AS b_id,
+             CAST((a.doc_id % 7) + ((a.doc_id + o) % 5) + 1 AS INT) AS s
+      FROM documents a, (VALUES (1), (3)) AS t(o)
+    ),
+    ej AS (
+      SELECT ca.cl AS ca, cb.cl AS cb, e.s
+      FROM e JOIN c ca ON ca.id = e.a_id JOIN c cb ON cb.id = e.b_id
+    )
+"""
+
+
+@check(
+    "er6_cluster_cohesion",
+    oracle=_AUDIT_SQL_PREFIX
+    + """
+    , sizes AS (
+      SELECT cl, CAST(count(*) AS BIGINT) AS n_members FROM c GROUP BY cl
+    ), intra AS (
+      SELECT ca AS cl, CAST(count(*) AS BIGINT) AS n_intra_edges,
+             min(s) AS min_score, max(s) AS max_score
+      FROM ej WHERE ca = cb GROUP BY ca
+    )
+    SELECT sizes.cl AS cluster_id, sizes.n_members,
+           CAST(sizes.n_members * (sizes.n_members - 1) // 2 AS BIGINT)
+             AS n_possible_pairs,
+           CAST(coalesce(intra.n_intra_edges, 0) AS BIGINT)
+             AS n_intra_edges,
+           intra.min_score, intra.max_score
+    FROM sizes LEFT JOIN intra USING (cl)
+    """,
+)
+def er6_cluster_cohesion(spark, sf_dir):
+    """Per-cluster cohesion audit (el.clustering.cluster_cohesion):
+    transitive closure guarantees connectivity, not density — a
+    spurious bridge welds two entities into a low-density chain, and
+    this operator rolls the verified edges back onto the clusters to
+    expose exactly that (n_intra_edges vs C(n,2), plus the weakest
+    intra edge as the bridge candidate). All counts exact BIGINTs,
+    min/max order-invariant INTs — hash-exact on both engines."""
+    from el.clustering import cluster_cohesion
+
+    clusters, edges = _audit_fixture(spark, sf_dir)
+    return cluster_cohesion(
+        clusters, edges, id_col="id", cluster_col="cluster_id",
+        a_col="a_id", b_col="b_id", score_col="s",
+    )
+
+
+@check(
+    "er7_cross_cluster_edges",
+    oracle=_AUDIT_SQL_PREFIX
+    + """
+    SELECT least(ca, cb) AS cluster_a, greatest(ca, cb) AS cluster_b,
+           CAST(count(*) AS BIGINT) AS n_cross_edges, max(s) AS max_score
+    FROM ej WHERE ca <> cb GROUP BY 1, 2
+    """,
+)
+def er7_cross_cluster_edges(spark, sf_dir):
+    """Missed-merge candidate rollup (el.clustering.
+    cross_cluster_edges): verified edges whose endpoints landed in
+    different clusters, grouped per unordered cluster pair with the
+    strongest crossing score — the merge-review worklist when a
+    closure ran on a stricter edge subset or an external cluster
+    assignment drifted. Exact BIGINT counts, order-invariant max."""
+    from el.clustering import cross_cluster_edges
+
+    clusters, edges = _audit_fixture(spark, sf_dir)
+    return cross_cluster_edges(
+        clusters, edges, id_col="id", cluster_col="cluster_id",
+        a_col="a_id", b_col="b_id", score_col="s",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 # ---------------------------------------------------------------------------
