@@ -128,6 +128,11 @@ HEADLINE_OPTIONAL = [
     # cluster-key groupBys)
     "er6_cluster_cohesion",
     "er7_cross_cluster_edges",
+    # late-r5: EXACT prefix-filter set-similarity self-join (AllPairs/
+    # PPJoin) — the no-LSH exact counterpart to dd4b; pins the
+    # df-ordered prefix index + size-ratio prune + array_intersect
+    # verify wall (6.8 s warm at sf0.1, same class as dd4b)
+    "dd11_prefix_filter_jaccard",
 ]
 
 

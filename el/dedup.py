@@ -937,3 +937,124 @@ def shared_span_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs / PPJoin candidate scheme — Bayardo, Ma & Srikant,
+    "Scaling Up All Pairs Similarity Search", WWW 2007; Xiao et al.,
+    PPJoin, WWW 2008): every pair with token-set Jaccard >=
+    ``threshold``, no LSH and no probabilistic recall — the exact
+    counterpart to dd4b's MinHash candidate path, for when a dedup
+    decision must be defensible pair-by-pair.
+
+    Mechanics (all JVM expressions, no UDFs): per-doc DISTINCT token
+    sets; a global document-frequency table orders each doc's tokens
+    rarest-first (sort_array over (df, token) structs — any shared
+    total order preserves completeness, rarest-first just minimizes
+    posting sizes); each doc indexes only its PREFIX of length
+    |t| - ceil(threshold*|t|) + 1 (a qualifying pair must share a
+    prefix token — the pigeonhole at the heart of AllPairs);
+    candidates come from the prefix-token equi-join with the
+    size-ratio filter min >= threshold*max, then one exact
+    array_intersect verify decides membership.
+
+    Returns ``(a_id, b_id, n_inter, n_union, jaccard)`` with
+    a_id < b_id; jaccard is the exact BIGINT ratio n_inter/n_union
+    as an IEEE double (engine-independent).
+
+    Scale shape: df-counts and prefixes are linear passes; the only
+    quadratic risk is a hot prefix token, and rarest-first ordering
+    makes prefix tokens the RAREST in the corpus — the opposite of
+    the stop-word skew that motivates capping elsewhere.
+    ``max_bucket=None`` (the default, unlike the LSH families)
+    preserves the exactness contract; passing a cap bounds hot
+    prefix-token postings with the deterministic keep rule and makes
+    the join a bounded approximation — never silently (cap only the
+    guardrail case, audit with bucket_load_stats on the prefix
+    postings)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(F.col(tokens_col)).alias("_tk"),
+        )
+        .where(F.size("_tk") > 0)
+        .withColumn("_sz", F.size("_tk").cast("long"))
+    )
+    posts = t.select("_id", "_sz", F.explode("_tk").alias("_t"))
+    dfreq = posts.groupBy("_t").agg(F.count("*").cast("long").alias("_df"))
+    ordered = (
+        posts.join(dfreq, on="_t")
+        .groupBy("_id", "_sz")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_df", "_t"))).alias(
+                "_ord"
+            )
+        )
+    )
+    klen = (
+        F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ).cast("int")
+    pref = ordered.select(
+        "_id", "_sz", F.explode(F.slice("_ord", F.lit(1), klen)).alias("_p")
+    ).select("_id", "_sz", F.col("_p._t").alias("_t"))
+    if max_bucket is not None:
+        pref = cap_bucket_members(pref, "_t", "_id", max_bucket)
+    a = pref.select(
+        F.col("_id").alias("a_id"), F.col("_sz").alias("_sza"), "_t"
+    )
+    b = pref.select(
+        F.col("_id").alias("b_id"), F.col("_sz").alias("_szb"), "_t"
+    )
+    cand = (
+        a.join(b, on="_t")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (
+                F.least("_sza", "_szb")
+                >= F.lit(threshold) * F.greatest("_sza", "_szb")
+            )
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sets = t.select("_id", "_tk", "_sz")
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("_id").alias("a_id"),
+                F.col("_tk").alias("_tka"),
+                F.col("_sz").alias("_sza"),
+            ),
+            on="a_id",
+        )
+        .join(
+            sets.select(
+                F.col("_id").alias("b_id"),
+                F.col("_tk").alias("_tkb"),
+                F.col("_sz").alias("_szb"),
+            ),
+            on="b_id",
+        )
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("_tka", "_tkb")).cast("long"),
+        )
+        .withColumn(
+            "n_union", (F.col("_sza") + F.col("_szb") - F.col("n_inter"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double") / F.col("n_union"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    return verified.select("a_id", "b_id", "n_inter", "n_union", "jaccard")

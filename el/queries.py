@@ -4445,6 +4445,57 @@ def er7_cross_cluster_edges(spark, sf_dir):
     )
 
 
+@check(
+    "dd11_prefix_filter_jaccard",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id AS id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> len(x) >= 3)) AS tks
+      FROM documents WHERE text IS NOT NULL
+    ), tz AS (
+      SELECT id, tks, len(tks) AS sz FROM tk WHERE len(tks) > 0
+    )
+    SELECT a_id, b_id, n_inter, n_union,
+           CAST(n_inter AS DOUBLE) / n_union AS jaccard
+    FROM (
+      SELECT a.id AS a_id, b.id AS b_id,
+             CAST(len(list_intersect(a.tks, b.tks)) AS BIGINT) AS n_inter,
+             CAST(a.sz + b.sz - len(list_intersect(a.tks, b.tks))
+                  AS BIGINT) AS n_union
+      FROM tz a JOIN tz b ON a.id < b.id
+    )
+    WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.9
+    """,
+)
+def dd11_prefix_filter_jaccard(spark, sf_dir):
+    """EXACT token-set Jaccard self-join at threshold 0.9 via prefix
+    filtering (el.dedup.prefix_filter_jaccard_pairs — AllPairs WWW
+    2007 / PPJoin): the no-LSH exact counterpart to dd4b, oracled
+    against DuckDB's UNBLOCKED all-pairs truth — the same quadratic
+    join the Spark plan's rarest-first prefix index avoids. n_inter /
+    n_union are exact BIGINTs and jaccard their IEEE ratio, so every
+    row is hash-exact; completeness of the prefix scheme is exactly
+    what the comparison proves."""
+    from el.dedup import prefix_filter_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda w: F.length(w) >= 3,
+            )
+        ).alias("tks"),
+    )
+    return prefix_filter_jaccard_pairs(
+        toks, id_col="id", tokens_col="tks", threshold=0.9,
+        max_bucket=None,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 # ---------------------------------------------------------------------------

@@ -667,3 +667,100 @@ def test_strip_repeated_chunks_max_docs_threshold(spark):
     assert all(r.n_removed == 0 for r in out.values())
     out = {r.doc_id: r for r in strip_repeated_chunks(df, max_docs=1).collect()}
     assert all(r.clean_text == "trailer" for r in out.values())
+
+
+def test_prefix_filter_jaccard_matches_brute_force(spark):
+    """Completeness + exactness of the AllPairs prefix scheme: the
+    prefix-filtered self-join must return EXACTLY the pairs a python
+    brute-force all-pairs Jaccard returns, at several thresholds."""
+    from el.dedup import prefix_filter_jaccard_pairs
+
+    corp = {
+        1: ["alpha", "beta", "gamma", "delta"],
+        2: ["alpha", "beta", "gamma", "delta", "eps"],
+        3: ["alpha", "beta", "gamma"],
+        4: ["zeta", "eta", "theta"],
+        5: ["zeta", "eta", "theta", "iota"],
+        6: ["alpha", "zeta"],
+        7: ["alpha", "beta", "gamma", "delta"],  # exact dup of 1
+        8: ["lone"],
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in corp.items()], "id long, tks array<string>"
+    )
+    for thr in (0.5, 0.75, 0.9, 1.0):
+        want = set()
+        ids = sorted(corp)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                sa, sb = set(corp[a]), set(corp[b])
+                j = len(sa & sb) / len(sa | sb)
+                if j >= thr:
+                    want.add((a, b))
+        got = {
+            (r.a_id, r.b_id): (r.n_inter, r.n_union, r.jaccard)
+            for r in prefix_filter_jaccard_pairs(
+                df, "id", "tks", threshold=thr
+            ).collect()
+        }
+        assert set(got) == want, f"threshold {thr}"
+        for (a, b), (ni, nu, j) in got.items():
+            sa, sb = set(corp[a]), set(corp[b])
+            assert (ni, nu) == (len(sa & sb), len(sa | sb))
+            assert j == pytest.approx(ni / nu)
+
+
+def test_prefix_filter_jaccard_dupes_in_tokens_and_validation(spark):
+    """Input token arrays may carry duplicates (array_distinct owns
+    set semantics); empty sets drop out; bad thresholds raise."""
+    from el.dedup import prefix_filter_jaccard_pairs
+
+    rows = [
+        (1, ["a", "a", "b", "b"]),
+        (2, ["b", "a"]),
+        (3, []),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, tks array<string>")
+    got = {
+        (r.a_id, r.b_id, r.n_inter, r.n_union)
+        for r in prefix_filter_jaccard_pairs(df, "id", "tks", 1.0).collect()
+    }
+    assert got == {(1, 2, 2, 2)}
+    with pytest.raises(ValueError):
+        prefix_filter_jaccard_pairs(df, "id", "tks", 0.0)
+    with pytest.raises(ValueError):
+        prefix_filter_jaccard_pairs(df, "id", "tks", 1.5)
+
+
+def test_prefix_filter_jaccard_max_bucket_bounds_postings(spark):
+    """Passing max_bucket caps hot prefix-token postings with the
+    deterministic keep rule: output is a subset of the uncapped run
+    and survivors keep exact (n_inter, n_union)."""
+    from el.dedup import prefix_filter_jaccard_pairs
+
+    # 30 docs sharing one hot token plus a private token each — the
+    # hot token lands in every prefix at thr 0.5 (sz=2 -> k=2).
+    rows = [(i, ["hot", f"p{i:02d}"]) for i in range(30)]
+    rows += [(100, ["x", "y"]), (101, ["x", "y"])]
+    df = spark.createDataFrame(rows, "id long, tks array<string>")
+    full = {
+        (r.a_id, r.b_id) for r in
+        prefix_filter_jaccard_pairs(df, "id", "tks", 0.5).collect()
+    }
+    capped = {
+        (r.a_id, r.b_id) for r in
+        prefix_filter_jaccard_pairs(
+            df, "id", "tks", 0.5, max_bucket=5
+        ).collect()
+    }
+    assert capped <= full
+    assert (100, 101) in capped  # cold buckets untouched
+    # deterministic across runs
+    again = {
+        (r.a_id, r.b_id) for r in
+        prefix_filter_jaccard_pairs(
+            df, "id", "tks", 0.5, max_bucket=5
+        ).collect()
+    }
+    assert capped == again
