@@ -133,6 +133,10 @@ HEADLINE_OPTIONAL = [
     # df-ordered prefix index + size-ratio prune + array_intersect
     # verify wall (6.8 s warm at sf0.1, same class as dd4b)
     "dd11_prefix_filter_jaccard",
+    # late-r5: binned interval-overlap join — pins the bin-explode +
+    # (key, bin) equi-join wall (2.75M overlap pairs in 1.2 s warm at
+    # sf0.1; the theta-join form would be BNLJ-quadratic per key)
+    "j10_interval_overlap_join",
 ]
 
 

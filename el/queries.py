@@ -4496,6 +4496,49 @@ def dd11_prefix_filter_jaccard(spark, sf_dir):
     )
 
 
+@check(
+    "j10_interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id AS id, event_type,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + (event_id % 120) * 60000000 AS e
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                    AND event_id IS NOT NULL
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap
+    FROM iv a JOIN iv b
+      ON a.event_type = b.event_type AND a.id < b.id
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def j10_interval_overlap_join(spark, sf_dir):
+    """Interval-overlap self-join over per-event time windows (each
+    event spans [ts, ts + (event_id % 120) minutes], keyed by
+    event_type) via el.blocking.interval_overlap_join's binned
+    equi-join — oracled hash-exact against DuckDB's THETA join, the
+    quadratic per-key plan the bin scheme replaces. Exact epoch
+    MICROSECONDS end-to-end (unix_micros after the NTZ->UTC cast —
+    the session TZ is pinned UTC in el.conf — vs DuckDB epoch_us),
+    so starts, ends and overlaps are exact integers in both
+    engines."""
+    from el.blocking import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        F.col("event_id").alias("id"),
+        "event_type",
+        us.alias("s"),
+        (us + (F.col("event_id") % 120) * F.lit(60_000_000)).alias("e"),
+    )
+    return interval_overlap_join(
+        iv, id_col="id", start_col="s", end_col="e",
+        key_col="event_type", bin_width=3_600_000_000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 # ---------------------------------------------------------------------------

@@ -371,3 +371,112 @@ def test_meta_blocking_wnp_matches_python_reference(spark):
         or w * nstat[b][0] >= nstat[b][1]
     )
     assert got and got == ref
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join (j10)
+# ---------------------------------------------------------------------------
+
+
+def _brute_overlaps(rows, keyed=True):
+    """Naive all-pairs interval overlap (the theta join the binned
+    plan replaces) — the truth for parity tests."""
+    out = {}
+    for i, ra in enumerate(rows):
+        for rb in rows[i + 1 :]:
+            a, b = (ra, rb) if ra[0] < rb[0] else (rb, ra)
+            if keyed and a[3] != b[3]:
+                continue
+            if a[1] <= b[2] and b[1] <= a[2]:
+                out[(a[0], b[0])] = min(a[2], b[2]) - max(a[1], b[1])
+    return out
+
+
+def test_interval_overlap_join_matches_theta_join(spark):
+    """Parity with the brute-force theta join on a deterministic
+    pseudo-random set, across bin widths spanning smaller-than, near,
+    and larger-than the typical interval (the result must be
+    invariant to bin_width — the later-start dedup rule makes every
+    pair appear exactly once regardless)."""
+    from el.blocking import interval_overlap_join
+
+    rows = []
+    x = 41
+    for i in range(120):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        s = x % 5000
+        length = (x >> 8) % 300
+        key = f"k{(x >> 16) % 3}"
+        rows.append((i, s, s + length, key))
+    df = spark.createDataFrame(
+        rows, "id long, s long, e long, key string"
+    )
+    want = _brute_overlaps(rows)
+    for width in (7, 128, 1000, 100_000):
+        got = {
+            (r.a_id, r.b_id): r.overlap
+            for r in interval_overlap_join(
+                df, "id", "s", "e", key_col="key", bin_width=width
+            ).collect()
+        }
+        assert got == want, f"bin_width={width}"
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Touching endpoints overlap (overlap=0); disjoint pairs are
+    absent; end<start and null rows drop; no key_col means a global
+    self-join; non-positive bin_width raises."""
+    import pytest
+
+    from el.blocking import interval_overlap_join
+
+    rows = [
+        (1, 0, 10, "a"),
+        (2, 10, 20, "a"),   # touches 1 at t=10
+        (3, 21, 30, "a"),   # disjoint from 2
+        (4, 5, 2, "a"),     # invalid: end < start
+        (5, None, 9, "a"),  # null start
+        (6, 0, 100, "b"),   # other key: overlaps 1-3 only globally
+    ]
+    df = spark.createDataFrame(rows, "id long, s long, e long, key string")
+    keyed = {
+        (r.a_id, r.b_id): r.overlap
+        for r in interval_overlap_join(
+            df, "id", "s", "e", key_col="key", bin_width=8
+        ).collect()
+    }
+    assert keyed == {(1, 2): 0}
+    un_keyed = {
+        (r.a_id, r.b_id): r.overlap
+        for r in interval_overlap_join(
+            df, "id", "s", "e", bin_width=8
+        ).collect()
+    }
+    assert un_keyed == {(1, 2): 0, (1, 6): 10, (2, 6): 10, (3, 6): 9}
+    with pytest.raises(ValueError):
+        interval_overlap_join(df, "id", "s", "e", bin_width=0)
+
+
+def test_interval_overlap_join_plan_is_equi_join(spark):
+    """The whole point of the binning: the physical plan must be a
+    shuffle-partitionable EQUI join on (key, bin) — never the
+    BroadcastNestedLoopJoin/CartesianProduct a raw theta join
+    compiles to — with no duplicate-elimination aggregate (the
+    later-start rule dedups for free)."""
+    from el.blocking import interval_overlap_join
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 13 % 997).alias("s"),
+        (F.col("id") * 13 % 997 + 50).alias("e"),
+        (F.col("id") % 4).cast("string").alias("key"),
+    )
+    out = interval_overlap_join(df, "id", "s", "e", key_col="key",
+                                bin_width=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # pairs are emitted exactly once — no distinct/aggregate needed
+    assert "HashAggregate" not in plan
+    rows = out.collect()
+    assert len(rows) == len({(r.a_id, r.b_id) for r in rows})
