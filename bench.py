@@ -121,6 +121,8 @@ HEADLINE_OPTIONAL = [
     # corpus-sized step)
     "mb1_meta_blocking",
     "mb2_meta_blocking_wnp",
+    "mb3_meta_blocking_cnp",
+    "mb4_meta_blocking_cep",
     "fu1_golden_record",
     "lk3_gamma_patterns",
     # late-r5 cluster audit: cohesion/bridge detection + the

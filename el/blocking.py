@@ -285,6 +285,7 @@ def meta_blocking_prune(
     min_block: int = 2,
     max_block: int | None = 100,
     prune: str = "wep",
+    cardinality_k: int | None = None,
 ) -> DataFrame:
     """Meta-blocking (Papadakis et al., TKDE 2014): restructure a
     redundancy-positive block collection — one record in MANY blocks,
@@ -314,7 +315,23 @@ def meta_blocking_prune(
       inflated mean cannot veto an edge its quiet endpoint values).
       Same exact-integer comparison per endpoint:
       cbs * n_a >= sum_a OR cbs * n_b >= sum_b.
+    - ``prune="cep"`` (Cardinality Edge Pruning): keep the GLOBAL
+      top-``cardinality_k`` edges by weight — the fixed-budget form
+      for when downstream scoring capacity, not a quality threshold,
+      bounds the pair count. Deterministic ties by (a_id, b_id);
+      compiles to TakeOrderedAndProject (distributed partial top-K
+      per partition, never a global sort).
+    - ``prune="cnp"`` (Cardinality Node Pruning): each node keeps
+      its top-``cardinality_k`` incident edges (ties by the other
+      endpoint's id), and an edge survives if EITHER endpoint keeps
+      it — the paper's redundancy-positive union, same as WNP. The
+      per-node top-k is one WindowGroupLimit-pushed row_number over
+      the edge incidence.
     - ``prune="none"`` returns all weighted edges.
+
+    ``cardinality_k`` is required (positive) for cep/cnp and
+    meaningless otherwise (a non-None value with wep/wnp/none
+    raises — a silently ignored budget would mislead callers).
 
     Returns ``(a_id, b_id, cbs, a_nblocks, b_nblocks)`` with
     a_id < b_id; the per-record block counts let callers form
@@ -330,12 +347,23 @@ def meta_blocking_prune(
     incidence (each edge contributes its weight to both endpoints)
     equi-joined back on each endpoint — the joins reuse the a_id /
     b_id keys the output join on ``nb`` pays anyway."""
-    if prune not in ("wep", "wnp", "none"):
+    if prune not in ("wep", "wnp", "cep", "cnp", "none"):
         raise ValueError(
-            f"prune must be 'wep', 'wnp' or 'none', got {prune!r}"
+            "prune must be 'wep', 'wnp', 'cep', 'cnp' or 'none', "
+            f"got {prune!r}"
         )
     if min_block < 2:
         raise ValueError(f"min_block must be >= 2, got {min_block}")
+    if prune in ("cep", "cnp"):
+        if cardinality_k is None or cardinality_k < 1:
+            raise ValueError(
+                f"prune={prune!r} needs cardinality_k >= 1, "
+                f"got {cardinality_k!r}"
+            )
+    elif cardinality_k is not None:
+        raise ValueError(
+            f"cardinality_k only applies to cep/cnp, not prune={prune!r}"
+        )
     p = (
         postings.select(
             F.col(id_col).alias("_id"), F.col(key_col).alias("_k")
@@ -398,6 +426,30 @@ def meta_blocking_prune(
             )
             .drop("_ne_a", "_sum_a", "_ne_b", "_sum_b")
         )
+    elif prune == "cep":
+        edges = edges.orderBy(F.desc("cbs"), "a_id", "b_id").limit(
+            cardinality_k
+        )
+    elif prune == "cnp":
+        inc = edges.select(
+            F.col("a_id").alias("_node"), F.col("b_id").alias("_other"),
+            "cbs",
+        ).unionByName(
+            edges.select(
+                F.col("b_id").alias("_node"), F.col("a_id").alias("_other"),
+                "cbs",
+            )
+        )
+        w = Window.partitionBy("_node").orderBy(F.desc("cbs"), "_other")
+        keep = (
+            inc.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cardinality_k)
+            .select(
+                F.least("_node", "_other").alias("a_id"),
+                F.greatest("_node", "_other").alias("b_id"),
+            )
+        )
+        edges = edges.join(keep, on=["a_id", "b_id"], how="left_semi")
     return (
         edges.join(nb.withColumnRenamed("_id", "a_id"), on="a_id")
         .withColumnRenamed("_nb", "a_nblocks")

@@ -4199,6 +4199,98 @@ def mb2_meta_blocking_wnp(spark, sf_dir):
     )
 
 
+_MB_EDGE_SQL = """
+      SELECT DISTINCT doc_id AS id, substr(w, 1, 4) AS k
+      FROM (SELECT doc_id,
+                   unnest(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) >= 3)) AS w
+            FROM documents WHERE text IS NOT NULL)
+    ), bs AS (
+      SELECT k, count(*) AS c FROM p GROUP BY k
+    ), pk AS (
+      SELECT p.id, p.k FROM p JOIN bs USING (k)
+      WHERE c BETWEEN 2 AND 100
+    ), nb AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS nblocks FROM pk GROUP BY id
+    ), e AS (
+      SELECT a.id AS a_id, b.id AS b_id, CAST(count(*) AS BIGINT) AS cbs
+      FROM pk a JOIN pk b ON a.k = b.k AND a.id < b.id
+      GROUP BY a.id, b.id
+"""
+
+
+@check(
+    "mb3_meta_blocking_cnp",
+    oracle="""
+    WITH p AS ({e}
+    ), inc AS (
+      SELECT a_id AS node, b_id AS other, cbs FROM e
+      UNION ALL SELECT b_id, a_id, cbs FROM e
+    ), keep AS (
+      SELECT DISTINCT least(node, other) AS a_id,
+                      greatest(node, other) AS b_id
+      FROM (SELECT node, other,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cbs DESC, other) AS rn
+            FROM inc)
+      WHERE rn <= 2
+    )
+    SELECT e.a_id, e.b_id, e.cbs,
+           na.nblocks AS a_nblocks, nbb.nblocks AS b_nblocks
+    FROM e
+    JOIN keep ON e.a_id = keep.a_id AND e.b_id = keep.b_id
+    JOIN nb na ON na.id = e.a_id
+    JOIN nb nbb ON nbb.id = e.b_id
+    """.format(e=_MB_EDGE_SQL),
+)
+def mb3_meta_blocking_cnp(spark, sf_dir):
+    """Cardinality NODE pruning (el.blocking.meta_blocking_prune with
+    prune="cnp", the fixed-budget node-centric scheme of the same
+    Papadakis TKDE 2014 paper): same purged CBS edge set as mb1/mb2,
+    each node keeps its top-2 incident edges (ties broken by the
+    other endpoint's id — deterministic in both engines), an edge
+    survives if EITHER endpoint keeps it. Rank comparisons are pure
+    integer orderings, so the survivor set is hash-exact."""
+    from el.blocking import meta_blocking_prune
+
+    return meta_blocking_prune(
+        _mb_postings(spark, sf_dir), id_col="id", key_col="block_key",
+        min_block=2, max_block=100, prune="cnp", cardinality_k=2,
+    )
+
+
+@check(
+    "mb4_meta_blocking_cep",
+    oracle="""
+    WITH p AS ({e}
+    ), top AS (
+      SELECT a_id, b_id, cbs FROM e
+      ORDER BY cbs DESC, a_id, b_id LIMIT 500
+    )
+    SELECT t.a_id, t.b_id, t.cbs,
+           na.nblocks AS a_nblocks, nbb.nblocks AS b_nblocks
+    FROM top t
+    JOIN nb na ON na.id = t.a_id
+    JOIN nb nbb ON nbb.id = t.b_id
+    """.format(e=_MB_EDGE_SQL),
+)
+def mb4_meta_blocking_cep(spark, sf_dir):
+    """Cardinality EDGE pruning (el.blocking.meta_blocking_prune with
+    prune="cep"): the global top-500 CBS edges with deterministic
+    (cbs DESC, a_id, b_id) ties — the fixed-budget form for when
+    downstream scoring capacity bounds the pair count. Spark compiles
+    the orderBy+limit to TakeOrderedAndProject (per-partition partial
+    top-K, no global sort); DuckDB runs the same ORDER BY ... LIMIT.
+    Pure integer ordering, hash-exact."""
+    from el.blocking import meta_blocking_prune
+
+    return meta_blocking_prune(
+        _mb_postings(spark, sf_dir), id_col="id", key_col="block_key",
+        min_block=2, max_block=100, prune="cep", cardinality_k=500,
+    )
+
+
 @check(
     "fu1_golden_record",
     oracle="""

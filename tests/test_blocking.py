@@ -480,3 +480,94 @@ def test_interval_overlap_join_plan_is_equi_join(spark):
     assert "HashAggregate" not in plan
     rows = out.collect()
     assert len(rows) == len({(r.a_id, r.b_id) for r in rows})
+
+
+def test_meta_blocking_cardinality_schemes_match_python_reference(spark):
+    """CEP (global top-K edges) and CNP (per-node top-k with
+    either-endpoint union) against a pure-python reference on the
+    same md5-derived postings the WNP parity test uses."""
+    import hashlib
+    from collections import defaultdict
+
+    from el.blocking import meta_blocking_prune
+
+    rows = []
+    for i in range(30):
+        for j in range(6):
+            h = hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+            rows.append((i, f"k{int(h[:4], 16) % 37}"))
+    post = spark.createDataFrame(rows, "id long, block_key string")
+
+    # python reference: purge, CBS edges
+    blocks = defaultdict(set)
+    for i, k in rows:
+        blocks[k].add(i)
+    kept = {k: v for k, v in blocks.items() if 2 <= len(v) <= 10}
+    cbs = defaultdict(int)
+    for v in kept.values():
+        mem = sorted(v)
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                cbs[(mem[x], mem[y])] += 1
+
+    # CEP: global top-K by (cbs desc, a, b)
+    K = 12
+    ref_cep = sorted(
+        sorted(cbs.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    )
+    got_cep = sorted(
+        ((r.a_id, r.b_id), r.cbs)
+        for r in meta_blocking_prune(
+            post, min_block=2, max_block=10, prune="cep",
+            cardinality_k=K,
+        ).collect()
+    )
+    assert got_cep == ref_cep
+
+    # CNP: per-node top-k by (cbs desc, other id), either endpoint
+    k = 2
+    inc = defaultdict(list)
+    for (a, b), w in cbs.items():
+        inc[a].append((-w, b))
+        inc[b].append((-w, a))
+    keeps = set()
+    for node, lst in inc.items():
+        for _, other in sorted(lst)[:k]:
+            keeps.add((min(node, other), max(node, other)))
+    ref_cnp = sorted((p, cbs[p]) for p in keeps)
+    got_cnp = sorted(
+        ((r.a_id, r.b_id), r.cbs)
+        for r in meta_blocking_prune(
+            post, min_block=2, max_block=10, prune="cnp",
+            cardinality_k=k,
+        ).collect()
+    )
+    assert got_cnp == ref_cnp
+    # CNP at k=1 is a subset of k=2 (budget monotonicity)
+    got_k1 = {
+        (r.a_id, r.b_id)
+        for r in meta_blocking_prune(
+            post, min_block=2, max_block=10, prune="cnp",
+            cardinality_k=1,
+        ).collect()
+    }
+    assert got_k1 <= {p for p, _ in got_cnp}
+
+
+def test_meta_blocking_cardinality_k_validation(spark):
+    import pytest as _pt
+
+    from el.blocking import meta_blocking_prune
+
+    post = spark.createDataFrame(
+        [(1, "a"), (2, "a")], "id long, block_key string"
+    )
+    for prune in ("cep", "cnp"):
+        with _pt.raises(ValueError):
+            meta_blocking_prune(post, prune=prune)  # k missing
+        with _pt.raises(ValueError):
+            meta_blocking_prune(post, prune=prune, cardinality_k=0)
+    with _pt.raises(ValueError):
+        meta_blocking_prune(post, prune="wep", cardinality_k=5)
+    with _pt.raises(ValueError):
+        meta_blocking_prune(post, prune="none", cardinality_k=5)
