@@ -459,3 +459,31 @@ def test_meta_blocking_plan_no_cartesian_totals_broadcast(spark):
     # which is the cheap side of a 1-row cross attach
     assert "BroadcastNestedLoopJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_prefix_filter_jaccard_plan_shape(spark):
+    """dd11's exactness must not come from a quadratic plan: the
+    candidate stage is an EQUI join on the prefix token and the
+    verify stage equi-joins back on ids — no cartesian, no
+    nested-loop, no Python evaluation anywhere (all JVM
+    expressions)."""
+    from el.queries import REGISTRY
+
+    plan = _plan(REGISTRY["dd11_prefix_filter_jaccard"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_interval_overlap_join_oracle_query_plan(spark):
+    """j10's registry configuration (events intervals, event_type
+    key) compiles to the equi-join shape at the driver's scale too:
+    no nested loop, no cartesian, no dedup aggregate after the
+    join."""
+    from el.queries import REGISTRY
+
+    plan = _plan(REGISTRY["j10_interval_overlap_join"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" not in plan
