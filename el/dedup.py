@@ -945,6 +945,8 @@ def prefix_filter_jaccard_pairs(
     tokens_col: str,
     threshold: float,
     max_bucket: int | None = None,
+    positional: bool = True,
+    _candidates_only: bool = False,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     AllPairs / PPJoin candidate scheme — Bayardo, Ma & Srikant,
@@ -964,6 +966,18 @@ def prefix_filter_jaccard_pairs(
     candidates come from the prefix-token equi-join with the
     size-ratio filter min >= threshold*max, then one exact
     array_intersect verify decides membership.
+
+    ``positional=True`` (default) adds PPJoin's positional filter:
+    a match on the token at (1-based) prefix position p can witness
+    at most ``1 + min(|a| - pa, |b| - pb)`` common tokens, and a
+    qualifying pair needs overlap O with O*(1+t) >= t*(|a|+|b|)
+    (algebra of J >= t); a pair survives if ANY of its shared prefix
+    tokens passes the bound. Completeness: for a qualifying pair the
+    FIRST shared token in the global order has no shared tokens
+    before it, so its bound >= the true overlap >= the requirement —
+    that row always passes. The float comparison keeps a 1e-6 slack
+    (strictly conservative: borderline candidates are KEPT and
+    settled by the exact verify, never dropped to rounding).
 
     Returns ``(a_id, b_id, n_inter, n_union, jaccard)`` with
     a_id < b_id; jaccard is the exact BIGINT ratio n_inter/n_union
@@ -1004,28 +1018,41 @@ def prefix_filter_jaccard_pairs(
         F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
     ).cast("int")
     pref = ordered.select(
-        "_id", "_sz", F.explode(F.slice("_ord", F.lit(1), klen)).alias("_p")
-    ).select("_id", "_sz", F.col("_p._t").alias("_t"))
+        "_id",
+        "_sz",
+        F.posexplode(F.slice("_ord", F.lit(1), klen)).alias("_i", "_p"),
+    ).select(
+        "_id", "_sz", (F.col("_i") + 1).alias("_pos"),
+        F.col("_p._t").alias("_t"),
+    )
     if max_bucket is not None:
         pref = cap_bucket_members(pref, "_t", "_id", max_bucket)
     a = pref.select(
-        F.col("_id").alias("a_id"), F.col("_sz").alias("_sza"), "_t"
+        F.col("_id").alias("a_id"), F.col("_sz").alias("_sza"),
+        F.col("_pos").alias("_pa"), "_t",
     )
     b = pref.select(
-        F.col("_id").alias("b_id"), F.col("_sz").alias("_szb"), "_t"
+        F.col("_id").alias("b_id"), F.col("_sz").alias("_szb"),
+        F.col("_pos").alias("_pb"), "_t",
     )
-    cand = (
-        a.join(b, on="_t")
-        .where(
-            (F.col("a_id") < F.col("b_id"))
-            & (
-                F.least("_sza", "_szb")
-                >= F.lit(threshold) * F.greatest("_sza", "_szb")
-            )
+    cond = (F.col("a_id") < F.col("b_id")) & (
+        F.least("_sza", "_szb")
+        >= F.lit(threshold) * F.greatest("_sza", "_szb")
+    )
+    if positional:
+        ubound = F.lit(1) + F.least(
+            F.col("_sza") - F.col("_pa"), F.col("_szb") - F.col("_pb")
         )
-        .select("a_id", "b_id")
-        .distinct()
+        cond = cond & (
+            ubound * F.lit(1.0 + threshold)
+            >= F.lit(threshold) * (F.col("_sza") + F.col("_szb"))
+            - F.lit(1e-6)
+        )
+    cand = (
+        a.join(b, on="_t").where(cond).select("a_id", "b_id").distinct()
     )
+    if _candidates_only:  # test hook: observe the pre-verify pair set
+        return cand
     sets = t.select("_id", "_tk", "_sz")
     verified = (
         cand.join(

@@ -764,3 +764,57 @@ def test_prefix_filter_jaccard_max_bucket_bounds_postings(spark):
         ).collect()
     }
     assert capped == again
+
+
+def test_prefix_filter_positional_prunes_but_never_loses(spark):
+    """PPJoin positional filter: identical OUTPUT with positional on
+    or off (the filter is conservative — completeness via the
+    first-shared-token argument in the docstring), while the
+    pre-verify CANDIDATE set shrinks on a crafted corpus where two
+    docs share only a late-prefix token."""
+    from el.dedup import prefix_filter_jaccard_pairs
+
+    # rarest-first order puts each doc's two df=1 tokens first, then
+    # 'common' (df=2) at prefix position 3 (klen = 4-2+1 = 3), then
+    # 'mm' (df=2, lex-after) OUTSIDE the prefix. Docs 1/2 match only
+    # on 'common' at pos 3/3: positional bound 1 + min(1, 1) = 2 <
+    # the overlap requirement t*(4+4)/(1+t) = 8/3, so the candidate
+    # is pruned — while the size-ratio filter alone keeps it. Docs
+    # 3/4 are true near-dups (J = 3/5) matching on an early prefix
+    # token and survive both filters.
+    corp = {
+        1: ["a1", "a2", "common", "mm"],
+        2: ["b1", "b2", "common", "mm"],
+        3: ["q1", "q2", "q3", "q4"],
+        4: ["q1", "q2", "q3", "q5"],
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in corp.items()], "id long, tks array<string>"
+    )
+    kw = dict(id_col="id", tokens_col="tks", threshold=0.5)
+    out_pos = {
+        (r.a_id, r.b_id)
+        for r in prefix_filter_jaccard_pairs(df, **kw).collect()
+    }
+    out_nopos = {
+        (r.a_id, r.b_id)
+        for r in prefix_filter_jaccard_pairs(
+            df, positional=False, **kw
+        ).collect()
+    }
+    assert out_pos == out_nopos == {(3, 4)}
+    cand_pos = {
+        (r.a_id, r.b_id)
+        for r in prefix_filter_jaccard_pairs(
+            df, _candidates_only=True, **kw
+        ).collect()
+    }
+    cand_nopos = {
+        (r.a_id, r.b_id)
+        for r in prefix_filter_jaccard_pairs(
+            df, positional=False, _candidates_only=True, **kw
+        ).collect()
+    }
+    assert cand_pos < cand_nopos          # strictly fewer candidates
+    assert (1, 2) not in cand_pos         # the late-token pair pruned
+    assert (3, 4) in cand_pos             # true pair always survives
