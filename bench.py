@@ -123,6 +123,9 @@ HEADLINE_OPTIONAL = [
     "mb2_meta_blocking_wnp",
     "mb3_meta_blocking_cnp",
     "mb4_meta_blocking_cep",
+    # late-r5: one-to-one assignment — pins the two-exchange
+    # mutual-best-match wall over the nation-blocked candidate graph
+    "lk4_mutual_best_match",
     "fu1_golden_record",
     "lk3_gamma_patterns",
     # late-r5 cluster audit: cohesion/bridge detection + the

@@ -447,3 +447,51 @@ def fuse_records(
         )
         out = out.join(winner, on=cluster_col, how="left")
     return out
+
+
+def mutual_best_match(
+    pairs: DataFrame,
+    left_col: str = "a_id",
+    right_col: str = "b_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """ONE-TO-ONE assignment over scored candidate pairs via
+    symmetric best match: keep exactly the pairs that are
+    simultaneously their LEFT record's best candidate and their
+    RIGHT record's best candidate `[PK: the "mutual best match" /
+    reciprocal-nearest-neighbor rule standard in record-linkage
+    post-processing (e.g. Splink's one-to-one linking guidance) and
+    in bipartite graph matching as the first round of distributed
+    greedy matching]`. Deduplication-by-linkage needs this when each
+    left entity can match AT MOST one right entity (person<->account,
+    product<->listing): without the constraint a hub record absorbs
+    every candidate above threshold.
+
+    Properties (pinned by tests): the result is a matching — each
+    left id and each right id appears at most once (two pairs sharing
+    a left id would both need per-left rank 1); it is a subset of the
+    input; every kept pair carries its left's maximum score AND its
+    right's maximum score. Ties break deterministically by the other
+    side's id ascending, so the output is stable across partitionings
+    and engines. Mutual-best is the scalable 2-shuffle core of greedy
+    weighted matching; iterating it on the residual graph (drop
+    matched nodes, repeat) converges to the full greedy matching —
+    one round recovers the overwhelming bulk of high-confidence
+    links, which is the record-linkage use case.
+
+    Scale shape: two hash exchanges (by left key, by right key), each
+    rank-1 filter compiling to WindowGroupLimit (per-partition
+    running top-1, never a full sort of a group's candidates).
+    Returns the input columns unchanged, filtered."""
+    wl = Window.partitionBy(left_col).orderBy(
+        F.desc(score_col), F.col(right_col)
+    )
+    wr = Window.partitionBy(right_col).orderBy(
+        F.desc(score_col), F.col(left_col)
+    )
+    return (
+        pairs.withColumn("_rl", F.row_number().over(wl))
+        .withColumn("_rr", F.row_number().over(wr))
+        .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
+        .drop("_rl", "_rr")
+    )

@@ -4437,6 +4437,53 @@ def lk3_gamma_patterns(spark, sf_dir):
     return gamma_pattern_counts(field_agreements(cand, fields), fields)
 
 
+@check(
+    "lk4_mutual_best_match",
+    oracle="""
+    WITH cand AS (
+      SELECT c.c_custkey AS a_id, s.s_suppkey AS b_id,
+             CAST((c.c_custkey * 31 + s.s_suppkey * 17) % 1000
+                  AS BIGINT) AS score
+      FROM customer c JOIN supplier s
+        ON c.c_nationkey = s.s_nationkey
+    ), ranked AS (
+      SELECT a_id, b_id, score,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY score DESC, b_id) AS rl,
+             row_number() OVER (PARTITION BY b_id
+                                ORDER BY score DESC, a_id) AS rr
+      FROM cand
+    )
+    SELECT a_id, b_id, score FROM ranked WHERE rl = 1 AND rr = 1
+    """,
+)
+def lk4_mutual_best_match(spark, sf_dir):
+    """One-to-one assignment (el.linkage.mutual_best_match) over the
+    nation-blocked customer x supplier candidate graph with a
+    deterministic integer score — keep exactly the pairs that are
+    their left's best AND their right's best candidate (symmetric /
+    reciprocal best match, the standard record-linkage one-to-one
+    constraint). Ranks, ties (other-side id ascending) and scores
+    are pure integer orderings, so the survivor set is hash-exact;
+    both rank-1 filters compile to WindowGroupLimit (plan-audited in
+    pytest)."""
+    from el.linkage import mutual_best_match
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cand = (
+        c.join(s, c["c_nationkey"] == s["s_nationkey"])
+        .select(
+            F.col("c_custkey").alias("a_id"),
+            F.col("s_suppkey").alias("b_id"),
+            (
+                (F.col("c_custkey") * 31 + F.col("s_suppkey") * 17) % 1000
+            ).cast("long").alias("score"),
+        )
+    )
+    return mutual_best_match(cand)
+
+
 def _audit_fixture(spark, sf_dir):
     """Shared er6/er7 fixture: synthetic clusters (doc_id DIV 5 —
     contiguous 5-member entities) and a verified-edge table from

@@ -393,3 +393,60 @@ def test_estimate_em_partition_invariant_and_guarded(spark):
         estimate_em(g, ["a"], iters=0)
     with pytest.raises(ValueError):
         estimate_em(g.where("pair < 0"), ["a"], iters=5)
+
+
+def test_mutual_best_match_python_reference_and_properties(spark):
+    """Symmetric best match vs a pure-python reference on an
+    md5-derived bipartite candidate graph, plus the matching
+    invariants: each side id appears at most once, output is a
+    subset of input, and every kept pair is max-score on BOTH
+    sides."""
+    import hashlib
+
+    from el.linkage import mutual_best_match
+
+    pairs = []
+    for a in range(20):
+        for b in range(15):
+            h = int(hashlib.md5(f"{a}|{b}".encode()).hexdigest()[:8], 16)
+            if h % 3 == 0:  # sparse graph
+                pairs.append((a, b, h % 100))
+    df = spark.createDataFrame(pairs, "a_id long, b_id long, score long")
+
+    best_l, best_r = {}, {}
+    for a, b, s in pairs:
+        # order by (-score, other id): min tuple wins
+        if a not in best_l or (-s, b) < best_l[a]:
+            best_l[a] = (-s, b)
+        if b not in best_r or (-s, a) < best_r[b]:
+            best_r[b] = (-s, a)
+    ref = sorted(
+        (a, b, s)
+        for a, b, s in pairs
+        if best_l[a] == (-s, b) and best_r[b] == (-s, a)
+    )
+    got = sorted(
+        (r.a_id, r.b_id, r.score) for r in mutual_best_match(df).collect()
+    )
+    assert got == ref and got
+    assert len({a for a, _, _ in got}) == len(got)  # matching: left once
+    assert len({b for _, b, _ in got}) == len(got)  # right once
+    assert set(got) <= set(pairs)
+
+
+def test_mutual_best_match_tie_break_and_plan(spark):
+    """Equal scores break by the other side's id ascending (stable
+    across engines/partitionings), and both rank-1 filters compile
+    to WindowGroupLimit — never a full per-group sort."""
+    from el.linkage import mutual_best_match
+
+    rows = [(1, 10, 5), (1, 11, 5), (2, 10, 5), (2, 12, 5)]
+    df = spark.createDataFrame(rows, "a_id long, b_id long, score long")
+    out = mutual_best_match(df)
+    got = sorted((r.a_id, r.b_id) for r in out.collect())
+    # left 1 prefers b=10 (tie -> lower id); right 10 prefers a=1;
+    # left 2 prefers 10 but loses it, and 12 prefers 2 while 2's
+    # best is 10 -> (2,12) is not mutual
+    assert got == [(1, 10)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2
