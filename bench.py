@@ -302,8 +302,27 @@ def _linkjob_resolve_40k(spark, sf_dir):
     return resolve_links(mentions, prior)
 
 
+def _ds8_prod(spark, sf_dir):
+    """ds8 in its PRODUCTION configuration: the registry/oracle entry
+    composes dd7's exact lang-blocked clustering (quadratic within
+    blocks — the oracle truth regime, like dd4/dd5's exact forms it
+    is NOT benched at sf0.1); production uses the linear
+    minhash-candidate path with the default hot-bucket cap, then the
+    same cluster-keyed exchange-free hash split."""
+    from el.datasets import leakage_safe_split
+    from el.dedup import neardup_doc_clusters
+    from el.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    nd = neardup_doc_clusters(docs, n=2, threshold=0.5, method="minhash")
+    return leakage_safe_split(
+        docs, nd, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split_key", "split")
+
+
 # benched with non-REGISTRY configs (production regime vs oracle regime)
 EXTRA = {
+    "ds8_leakage_safe_split_prod": _ds8_prod,
     "dd5b_embedding_neardup_lsh_prod": _dd5b_prod,
     "ann3_ivf_topk_prefit": _ann3_prefit,
     "lm1_bigram_rarity_prefit": _lm1_prefit,

@@ -410,3 +410,42 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w) - F.lit(1))
         .drop("_sk")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    seed: str = "",
+) -> DataFrame:
+    """Near-dup-leakage-safe train/val/test split: hash-split keyed
+    on the NEAR-DUP CLUSTER, not the document — every member of a
+    near-dup cluster lands in the same split, so a test document can
+    never have a near-copy in train `[PK: the dedup-aware split
+    hygiene of The Pile / RefinedWeb / Dolma dataset cards — test
+    leakage through near-duplicates inflates eval scores exactly
+    like benchmark contamination does]`. The complement of ds6's
+    EXTERNAL-benchmark decontamination: this closes the INTERNAL
+    train->test leak.
+
+    ``clusters`` is any (key, cluster) assignment — dd7's
+    neardup_doc_clusters output in production; records absent from
+    it (singletons) key on themselves via coalesce, so the split
+    remains total over ``df``.
+
+    Scale shape: one left equi-join on the key (the cluster frame is
+    corpus-sized but thin — two longs), then hash_split's pure
+    projection; no shuffle beyond the join.
+
+    Returns ``df``'s rows with ``split_key`` (the effective cluster
+    key) and ``split`` added."""
+    cl = clusters.select(
+        F.col(key_col).alias(key_col),
+        F.col(cluster_col).alias("_cl"),
+    )
+    base = df.join(cl, on=key_col, how="left").withColumn(
+        "split_key", F.coalesce(F.col("_cl"), F.col(key_col))
+    ).drop("_cl")
+    return hash_split(base, "split_key", weights, seed=seed)

@@ -2695,6 +2695,47 @@ def ds7_epoch_shuffle(spark, sf_dir):
 
 
 @check(
+    "ds8_leakage_safe_split",
+    oracle="""
+    WITH nd AS ({nd}
+    ), k AS (
+      SELECT d.doc_id,
+             coalesce(nd.cluster_id, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN nd ON d.doc_id = nd.doc_id
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, split_key,
+                 CAST('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 10000 AS b
+          FROM k)
+    """.format(nd=_NEARDUP_CL_SQL),
+)
+def ds8_leakage_safe_split(spark, sf_dir):
+    """Near-dup-leakage-safe split (el.datasets.leakage_safe_split):
+    hash-split keyed on dd7's near-dup cluster id (singletons key on
+    themselves), so a test document can never have a near-copy in
+    train — the INTERNAL-leak complement to ds6's external-benchmark
+    decontamination. Both engines derive the clusters independently
+    (dd7's exact lang-blocked config vs the recursive-CTE closure)
+    and the md5 bucket agrees bit-for-bit, so the per-document
+    assignment is value-hash checked."""
+    from el.datasets import leakage_safe_split
+    from el.dedup import neardup_doc_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    nd = neardup_doc_clusters(
+        docs, block_col="lang", n=2, threshold=0.5, method="exact",
+        max_bucket=None,  # oracle regime: the uncapped all-pairs truth
+    )
+    return leakage_safe_split(
+        docs, nd, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split_key", "split")
+
+
+@check(
     "lm1_bigram_rarity",
     oracle="""
     WITH toks AS (

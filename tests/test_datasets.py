@@ -381,3 +381,38 @@ def test_epoch_shuffle_single_hash_exchange(spark):
     # per-shard window sort — never a global (range) sort
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a near-dup cluster lands in the SAME split
+    (keyed on the cluster id), singletons key on themselves, and the
+    split stays total over the input."""
+    from el.datasets import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "doc_id long, cluster_id long",
+    )
+    out = leakage_safe_split(
+        docs, clusters, {"train": 0.5, "test": 0.5}
+    ).collect()
+    assert len(out) == 7  # total: every doc assigned exactly once
+    by_id = {r.doc_id: r for r in out}
+    assert {by_id[i].split_key for i in (1, 2, 3)} == {1}
+    assert len({by_id[i].split for i in (1, 2, 3)}) == 1
+    assert {by_id[i].split_key for i in (4, 5)} == {4}
+    assert by_id[4].split == by_id[5].split
+    for i in (6, 7):  # singletons: own key, same split as a plain
+        assert by_id[i].split_key == i  # hash_split on doc_id
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(
+            docs, "doc_id", {"train": 0.5, "test": 0.5}
+        ).collect()
+    }
+    assert by_id[6].split == plain[6] and by_id[7].split == plain[7]
+    # cluster members inherit the KEEPER's split, by construction
+    assert by_id[1].split == plain[1] and by_id[4].split == plain[4]
