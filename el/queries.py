@@ -478,6 +478,37 @@ def w6_ntile_orders(spark, sf_dir):
     )
 
 
+@check("w7_approx_percentiles", oracle=None)  # sketch -> rows-only
+def w7_approx_percentiles(spark, sf_dir):
+    """The SCALE path beside w5's exact percentile: per-priority
+    p50/p90/p99 of order totals via percentile_approx (Greenwald-
+    Khanna sketch — bounded memory per group, mergeable map-side
+    partials; the exact form needs each group's full value set on
+    one reducer, which is the one shape that cannot survive 100 TB).
+    Approximate by design -> rows-only driver check; the rank-error
+    bound (<= 1/accuracy of the group size, here accuracy=10000) is
+    asserted against the exact percentiles in pytest."""
+    o = _t(spark, sf_dir, "orders")
+    acc = F.lit(10_000)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                acc,
+            ).alias("pcts"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            "n_orders",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sorts / limits
 # ---------------------------------------------------------------------------
