@@ -126,6 +126,9 @@ HEADLINE_OPTIONAL = [
     # late-r5: one-to-one assignment — pins the two-exchange
     # mutual-best-match wall over the nation-blocked candidate graph
     "lk4_mutual_best_match",
+    # late-r5: iterated greedy matching — pins the per-round residual
+    # anti-join + localCheckpoint orchestration (2 rounds)
+    "lk5_greedy_matching",
     "fu1_golden_record",
     "lk3_gamma_patterns",
     # late-r5 cluster audit: cohesion/bridge detection + the

@@ -495,3 +495,52 @@ def mutual_best_match(
         .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
         .drop("_rl", "_rr")
     )
+
+
+def greedy_matching(
+    pairs: DataFrame,
+    left_col: str = "a_id",
+    right_col: str = "b_id",
+    score_col: str = "score",
+    rounds: int = 3,
+) -> DataFrame:
+    """Distributed greedy weighted bipartite matching by ITERATED
+    mutual best match `[PK: the classic parallel greedy matching
+    scheme — locally-dominant edge matching (Manne & Bisseling 2007
+    and the MapReduce adaptations): every mutually-best edge is
+    locally dominant, all of them can match simultaneously without
+    conflicts, and repeating on the residual graph (both endpoints
+    of matched edges removed) reproduces EXACTLY the sequential
+    greedy-by-weight matching after enough rounds]`. One round keeps
+    the high-confidence core (lk4); ``rounds`` controls how far down
+    the score order the 1:1 assignment is pushed — each round is two
+    WindowGroupLimit exchanges on the residual, and the residual
+    shrinks geometrically in practice.
+
+    Deterministic: ties inherit mutual_best_match's other-side-id
+    tie-break, so the round-r matched set (and therefore the final
+    matching) is unique and engine-independent. Each round's result
+    is localCheckpoint-ed (the j7 discipline) so lineage stays flat.
+
+    Returns the matched pairs with a 1-based ``match_round``
+    column."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    remaining = pairs.select(left_col, right_col, score_col)
+    out = None
+    for r in range(1, rounds + 1):
+        m = mutual_best_match(
+            remaining, left_col, right_col, score_col
+        ).withColumn("match_round", F.lit(r)).localCheckpoint(eager=True)
+        out = m if out is None else out.unionByName(m)
+        if r < rounds:
+            remaining = (
+                remaining.join(
+                    m.select(left_col), on=left_col, how="left_anti"
+                )
+                .join(m.select(right_col), on=right_col, how="left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if remaining.limit(1).count() == 0:
+                break
+    return out

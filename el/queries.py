@@ -4556,6 +4556,66 @@ def lk4_mutual_best_match(spark, sf_dir):
     return mutual_best_match(cand)
 
 
+@check(
+    "lk5_greedy_matching",
+    oracle="""
+    WITH cand AS (
+      SELECT c.c_custkey AS a_id, s.s_suppkey AS b_id,
+             CAST((c.c_custkey * 31 + s.s_suppkey * 17) % 1000
+                  AS BIGINT) AS score
+      FROM customer c JOIN supplier s
+        ON c.c_nationkey = s.s_nationkey
+    ), r1 AS (
+      SELECT a_id, b_id, score FROM (
+        SELECT a_id, b_id, score,
+               row_number() OVER (PARTITION BY a_id
+                                  ORDER BY score DESC, b_id) AS rl,
+               row_number() OVER (PARTITION BY b_id
+                                  ORDER BY score DESC, a_id) AS rr
+        FROM cand) WHERE rl = 1 AND rr = 1
+    ), res AS (
+      SELECT c.* FROM cand c
+      WHERE c.a_id NOT IN (SELECT a_id FROM r1)
+        AND c.b_id NOT IN (SELECT b_id FROM r1)
+    ), r2 AS (
+      SELECT a_id, b_id, score FROM (
+        SELECT a_id, b_id, score,
+               row_number() OVER (PARTITION BY a_id
+                                  ORDER BY score DESC, b_id) AS rl,
+               row_number() OVER (PARTITION BY b_id
+                                  ORDER BY score DESC, a_id) AS rr
+        FROM res) WHERE rl = 1 AND rr = 1
+    )
+    SELECT a_id, b_id, score, 1 AS match_round FROM r1
+    UNION ALL
+    SELECT a_id, b_id, score, 2 AS match_round FROM r2
+    """,
+)
+def lk5_greedy_matching(spark, sf_dir):
+    """Two rounds of distributed greedy matching (el.linkage.
+    greedy_matching — iterated mutual best match on the residual
+    graph, the locally-dominant-edge scheme) over lk4's candidate
+    graph; DuckDB recomputes both rounds UNROLLED (round-1 mutual
+    best, node-residual anti-filter, round-2 mutual best — the g1
+    unrolled-iteration oracle discipline), so the per-round matched
+    sets are hash-exact."""
+    from el.linkage import greedy_matching
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cand = (
+        c.join(s, c["c_nationkey"] == s["s_nationkey"])
+        .select(
+            F.col("c_custkey").alias("a_id"),
+            F.col("s_suppkey").alias("b_id"),
+            (
+                (F.col("c_custkey") * 31 + F.col("s_suppkey") * 17) % 1000
+            ).cast("long").alias("score"),
+        )
+    )
+    return greedy_matching(cand, rounds=2)
+
+
 def _audit_fixture(spark, sf_dir):
     """Shared er6/er7 fixture: synthetic clusters (doc_id DIV 5 —
     contiguous 5-member entities) and a verified-edge table from

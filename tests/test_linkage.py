@@ -450,3 +450,45 @@ def test_mutual_best_match_tie_break_and_plan(spark):
     assert got == [(1, 10)]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_greedy_matching_equals_sequential_greedy(spark):
+    """With enough rounds, iterated mutual best match reproduces the
+    SEQUENTIAL greedy-by-weight matching exactly (locally-dominant
+    edge matching; per-node tie-breaks consistent with the global
+    (score desc, a_id, b_id) order), and the result is maximal: no
+    remaining edge has both endpoints unmatched."""
+    import hashlib
+
+    import pytest as _pt
+
+    from el.linkage import greedy_matching
+
+    pairs = []
+    for a in range(25):
+        for b in range(20):
+            h = int(hashlib.md5(f"g{a}|{b}".encode()).hexdigest()[:8], 16)
+            if h % 4 == 0:
+                pairs.append((a, b, h % 50))  # many score ties
+    df = spark.createDataFrame(pairs, "a_id long, b_id long, score long")
+
+    # sequential greedy in global (score desc, a, b) order
+    ml, mr, ref = set(), set(), set()
+    for a, b, s in sorted(pairs, key=lambda p: (-p[2], p[0], p[1])):
+        if a not in ml and b not in mr:
+            ml.add(a)
+            mr.add(b)
+            ref.add((a, b, s))
+
+    out = greedy_matching(df, rounds=25).collect()
+    got = {(r.a_id, r.b_id, r.score) for r in out}
+    assert got == ref
+    # rounds partition the matching; round 1 == mutual best match
+    assert len(out) == len({(r.a_id, r.b_id) for r in out})
+    rounds = sorted({r.match_round for r in out})
+    assert rounds[0] == 1 and rounds == list(range(1, len(rounds) + 1))
+    # maximality: every input edge touches a matched node
+    for a, b, _ in pairs:
+        assert a in ml or b in mr
+    with _pt.raises(ValueError):
+        greedy_matching(df, rounds=0)
