@@ -145,6 +145,11 @@ HEADLINE_OPTIONAL = [
     # (key, bin) equi-join wall (2.75M overlap pairs in 1.2 s warm at
     # sf0.1; the theta-join form would be BNLJ-quadratic per key)
     "j10_interval_overlap_join",
+    # late-r5: correlation clustering by hash-priority pivots
+    # (KwikCluster) — pins the per-round locally-minimal-pivot MIS
+    # orchestration + the final min-pivot assignment join, the
+    # precision-side counterpart to j7's closure
+    "cl1_pivot_clustering",
 ]
 
 

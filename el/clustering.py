@@ -303,3 +303,153 @@ def cross_cluster_edges(
         )
         .agg(*aggs)
     )
+
+
+def _md5_priority(col, seed: str = ""):
+    """Deterministic 60-bit node priority from md5(id || seed) —
+    the same cross-engine-stable primitive family as
+    el.datasets.hash_bucket (md5 hex prefix -> base-16 integer), so
+    a DuckDB oracle reproduces every priority bit-for-bit."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(seed))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def pivot_clustering(
+    edges: DataFrame,
+    seed: str = "",
+    priorities: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Correlation clustering by hash-priority pivots — KwikCluster
+    `[PK: Ailon, Charikar & Newman, "Aggregating inconsistent
+    information: ranking and clustering", STOC 2005 (QuickCluster /
+    KwikCluster, expected 3-approximation of correlation-clustering
+    disagreements); parallelized via rounds of LOCALLY-MINIMAL pivots
+    exactly as in Blelloch, Fineman & Shun, "Greedy sequential
+    maximal independent set and matching are parallel on average",
+    SPAA 2012 and Chierichetti, Dalvi & Kumar, "Correlation
+    clustering in MapReduce", KDD 2014]`.
+
+    The PRECISION-oriented alternative to ``connected_components``:
+    transitive closure (j7) merges A-B-C into one entity even when
+    the A-C edge was never verified, so one spurious bridge edge
+    fuses two real entities. Pivot clustering only places a node in
+    a pivot's cluster when a DIRECT verified edge to that pivot
+    exists — chains fragment at unverified hops, bounding how far a
+    bad edge can propagate (the classic ER over-merge fix).
+
+    Algorithm (two phases, both DataFrame-native):
+
+    1. Pivot selection = lexicographically-first MIS by priority:
+       rounds where every node whose ``(priority, id)`` is strictly
+       smaller than all ACTIVE neighbors' becomes a pivot; pivots
+       and their neighbors leave the active set. Equals the
+       sequential greedy MIS over the ``(priority, id)`` order
+       `[PK: Blelloch et al. 2012]`, converging in O(log n) rounds
+       w.h.p.; each round is one groupBy-min + two anti-joins, with
+       ``localCheckpoint`` lineage cuts (the j7 discipline).
+    2. Assignment: every non-pivot joins the minimum-``(priority,
+       id)`` pivot adjacent to it in the ORIGINAL edge set (maximal
+       independence guarantees one exists) — one equi-join + one
+       groupBy-min. This reproduces EXACTLY the sequential
+       KwikCluster assignment (a node is claimed by the first
+       adjacent pivot in priority order), pinned against a pure
+       python reference in tests/test_clustering.py.
+
+    Priorities default to the md5-derived 60-bit hash of the id (a
+    fixed "random" permutation — deterministic across runs, engines
+    and partitionings); pass ``priorities`` (id, pri) to supply
+    custom ones (crafted tests, re-cluster-with-new-permutation).
+
+    Scale shape: the edge table is never squared — every step is an
+    equi-join or a groupBy-min on node keys; rounds shrink
+    geometrically. Returns ``(node_id, cluster_id, is_pivot)`` for
+    every node incident to an edge; callers assign singletons via a
+    left join exactly as with connected_components/clusters_of."""
+    e0 = _canonical(edges).localCheckpoint(eager=True)
+    nodes = (
+        e0.select(F.col("src").alias("id"))
+        .unionByName(e0.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if priorities is None:
+        nodes = nodes.withColumn("pri", _md5_priority(F.col("id"), seed))
+    else:
+        nodes = nodes.join(priorities.select("id", "pri"), on="id")
+    active = nodes.localCheckpoint(eager=True)
+    e = e0
+    piv_acc: DataFrame | None = None
+    for _ in range(max_iter):
+        if active.limit(1).count() == 0:
+            break
+        nbrs = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        nb = nbrs.join(
+            active.select(F.col("id").alias("dst"), F.col("pri").alias("dpri")),
+            on="dst",
+        )
+        mn = nb.groupBy("src").agg(
+            F.min(F.struct(F.col("dpri"), F.col("dst"))).alias("m")
+        )
+        piv = (
+            active.join(mn, active["id"] == mn["src"], "left")
+            .where(
+                F.col("m").isNull()
+                | (F.struct(F.col("pri"), F.col("id")) < F.col("m"))
+            )
+            .select("id", "pri")
+            .localCheckpoint(eager=True)
+        )
+        covered = (
+            nbrs.join(piv.select(F.col("id").alias("dst")), on="dst")
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+        gone = piv.select("id").unionByName(covered).distinct()
+        active = active.join(gone, on="id", how="left_anti").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(gone.select(F.col("id").alias("src")), on="src", how="left_anti")
+            .join(gone.select(F.col("id").alias("dst")), on="dst", how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        piv_acc = piv if piv_acc is None else piv_acc.unionByName(piv)
+    if active.limit(1).count() != 0:
+        raise RuntimeError(
+            f"pivot_clustering did not converge in {max_iter} rounds"
+        )
+    if piv_acc is None:  # no edges at all
+        return nodes.select(
+            F.col("id").alias("node_id"),
+            F.col("id").alias("cluster_id"),
+            F.lit(True).alias("is_pivot"),
+        )
+    nbrs0 = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    assigned = (
+        nbrs0.join(
+            piv_acc.select(F.col("id").alias("dst"), F.col("pri").alias("ppri")),
+            on="dst",
+        )
+        .join(piv_acc.select(F.col("id").alias("src")), on="src", how="left_anti")
+        .groupBy("src")
+        .agg(F.min(F.struct(F.col("ppri"), F.col("dst"))).alias("p"))
+        .select(
+            F.col("src").alias("node_id"),
+            F.col("p.dst").alias("cluster_id"),
+            F.lit(False).alias("is_pivot"),
+        )
+    )
+    return assigned.unionByName(
+        piv_acc.select(
+            F.col("id").alias("node_id"),
+            F.col("id").alias("cluster_id"),
+            F.lit(True).alias("is_pivot"),
+        )
+    )

@@ -4616,6 +4616,113 @@ def lk5_greedy_matching(spark, sf_dir):
     return greedy_matching(cand, rounds=2)
 
 
+def _pivot_clustering_sql(n_rounds: int = 3) -> str:
+    """Unrolled KwikCluster oracle (the g1/lk5 unrolled-iteration
+    discipline): ``n_rounds`` locally-minimal-pivot MIS rounds over
+    the cl1 fixture graph, then the min-priority-adjacent-pivot
+    assignment pass. The fixture's components have <= 6 nodes, and a
+    round removes >= 2 nodes from every component with an edge, so 3
+    rounds provably exhaust the graph — a pytest pins that the Spark
+    run converges within the same bound. Priorities are the
+    md5-hex-prefix 60-bit integers of el.clustering._md5_priority,
+    which DuckDB reproduces bit-for-bit (the ds1 discipline)."""
+    parts = [
+        """
+    WITH nodes AS (
+      SELECT doc_id AS id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS pri
+      FROM documents
+    ), e1 AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 6 <> 5
+      UNION ALL
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+      WHERE a.doc_id % 6 = 0
+    ), act1 AS (SELECT id, pri FROM nodes)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+    , nbrs{r} AS (
+      SELECT src, dst FROM e{r}
+      UNION ALL SELECT dst AS src, src AS dst FROM e{r}
+    ), mn{r} AS (
+      SELECT src, dpri, dst FROM (
+        SELECT n.src, n.dst, p.pri AS dpri,
+               row_number() OVER (PARTITION BY n.src
+                                  ORDER BY p.pri, n.dst) AS rn
+        FROM nbrs{r} n JOIN act{r} p ON p.id = n.dst)
+      WHERE rn = 1
+    ), piv{r} AS (
+      SELECT a.id, a.pri FROM act{r} a LEFT JOIN mn{r} m ON m.src = a.id
+      WHERE m.src IS NULL OR a.pri < m.dpri
+         OR (a.pri = m.dpri AND a.id < m.dst)
+    ), cov{r} AS (
+      SELECT DISTINCT n.src AS id
+      FROM nbrs{r} n JOIN piv{r} p ON p.id = n.dst
+    ), act{r + 1} AS (
+      SELECT id, pri FROM act{r}
+      WHERE id NOT IN (SELECT id FROM piv{r})
+        AND id NOT IN (SELECT id FROM cov{r})
+    ), e{r + 1} AS (
+      SELECT src, dst FROM e{r}
+      WHERE src IN (SELECT id FROM act{r + 1})
+        AND dst IN (SELECT id FROM act{r + 1})
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT id, pri FROM piv{r}" for r in range(1, n_rounds + 1)
+    )
+    parts.append(f"""
+    , piv AS ({union})
+    , asg AS (
+      SELECT src AS node_id, dst AS cluster_id FROM (
+        SELECT n.src, n.dst,
+               row_number() OVER (PARTITION BY n.src
+                                  ORDER BY p.pri, n.dst) AS rn
+        FROM nbrs1 n JOIN piv p ON p.id = n.dst
+        WHERE n.src NOT IN (SELECT id FROM piv))
+      WHERE rn = 1
+    )
+    SELECT node_id, cluster_id, FALSE AS is_pivot FROM asg
+    UNION ALL
+    SELECT id AS node_id, id AS cluster_id, TRUE AS is_pivot FROM piv
+    """)
+    return "".join(parts)
+
+
+@check("cl1_pivot_clustering", oracle=_pivot_clustering_sql())
+def cl1_pivot_clustering(spark, sf_dir):
+    """Correlation clustering by hash-priority pivots
+    (el.clustering.pivot_clustering — KwikCluster, the
+    precision-oriented alternative to j7's transitive closure: a
+    node joins a cluster only via a DIRECT verified edge to the
+    pivot, so one spurious bridge edge cannot fuse two entities).
+    Fixture: 6-node chain components over doc_id (+1 successor
+    edges, chains cut at doc_id%6==5) with a +2 shortcut at each
+    chain head. DuckDB re-runs the full algorithm UNROLLED — three
+    locally-minimal-pivot MIS rounds (provably exhaustive on <=
+    6-node components) plus the final min-priority-adjacent-pivot
+    assignment — on bit-identical md5-derived priorities, so pivot
+    sets and assignments are hash-exact."""
+    from el.clustering import pivot_clustering
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    chain = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .where(F.col("a.doc_id") % 6 != 5)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    cut = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 2)
+        .where(F.col("a.doc_id") % 6 == 0)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    return pivot_clustering(chain.unionByName(cut))
+
+
 def _audit_fixture(spark, sf_dir):
     """Shared er6/er7 fixture: synthetic clusters (doc_id DIV 5 —
     contiguous 5-member entities) and a verified-edge table from

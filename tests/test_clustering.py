@@ -196,3 +196,153 @@ def test_cluster_audit_partition_invariance_and_no_score(spark):
         a_col="a_id", b_col="b_id",
     ).columns
     assert cols == ["cluster_a", "cluster_b", "n_cross_edges"]
+
+
+# ---------------------------------------------------------------------------
+# pivot_clustering (cl1): KwikCluster by hash-priority pivots
+# ---------------------------------------------------------------------------
+
+
+def _kwik_ref(edges, pri):
+    """Sequential KwikCluster (Ailon et al. STOC 2005): process nodes
+    in (priority, id) order; an unassigned node becomes a pivot and
+    claims all its still-unassigned neighbors."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    ids = set(adj)
+    cluster, pivots = {}, set()
+    for v in sorted(ids, key=lambda v: (pri[v], v)):
+        if v in cluster:
+            continue
+        cluster[v] = v
+        pivots.add(v)
+        for u in adj[v]:
+            if u not in cluster:
+                cluster[u] = v
+    return cluster, pivots
+
+
+def _md5_pri(v):
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def _run_pivot(spark, edges, **kw):
+    from el.clustering import pivot_clustering
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = pivot_clustering(df, **kw).collect()
+    cluster = {r["node_id"]: r["cluster_id"] for r in rows}
+    pivots = {r["node_id"] for r in rows if r["is_pivot"]}
+    assert len(rows) == len(cluster), "a node was emitted twice"
+    return cluster, pivots
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 40, 30), (2, 120, 100), (3, 200, 320)])
+def test_pivot_clustering_matches_sequential_kwikcluster(
+    spark, seed, n_nodes, n_edges
+):
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes))
+        for _ in range(n_edges)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    want, want_piv = _kwik_ref(edges, {v: _md5_pri(v) for v in range(n_nodes)})
+    got, got_piv = _run_pivot(spark, edges)
+    assert got == want
+    assert got_piv == want_piv
+
+
+def test_pivot_clustering_splits_unverified_chain(spark):
+    # path 1-2-3-4 with priorities making 2 the first pivot: 2 claims
+    # 1 and 3; 4's only edge goes to non-pivot 3, so 4 is its own
+    # cluster. Transitive closure (j7) would fuse all four — this is
+    # the over-merge bound pivot clustering exists for.
+    pri = [(1, 30), (2, 10), (3, 40), (4, 20)]
+    prdf_edges = [(1, 2), (2, 3), (3, 4)]
+    from el.clustering import connected_components, pivot_clustering
+
+    df = spark.createDataFrame(prdf_edges, "src long, dst long")
+    pdf = spark.createDataFrame(pri, "id long, pri long")
+    rows = pivot_clustering(df, priorities=pdf).collect()
+    cluster = {r["node_id"]: r["cluster_id"] for r in rows}
+    assert cluster == {1: 2, 2: 2, 3: 2, 4: 4}
+    cc = {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert len(set(cc.values())) == 1  # the closure merges everything
+
+
+def test_pivot_clustering_pivots_never_adjacent(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    cluster, pivots = _run_pivot(spark, edges)
+    eset = {frozenset(e) for e in edges}
+    for p in pivots:
+        for q in pivots:
+            if p != q:
+                assert frozenset((p, q)) not in eset
+    # every non-pivot is assigned to a pivot it shares a DIRECT edge with
+    for v, c in cluster.items():
+        if v not in pivots:
+            assert c in pivots
+            assert frozenset((v, c)) in eset
+
+
+def test_pivot_clustering_partition_invariant(spark):
+    rng = random.Random(11)
+    edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(200)]
+    edges = [(a, b) for a, b in edges if a != b]
+    from el.clustering import pivot_clustering
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {
+        (r["node_id"], r["cluster_id"], r["is_pivot"])
+        for r in pivot_clustering(df.repartition(13)).collect()
+    }
+    b = {
+        (r["node_id"], r["cluster_id"], r["is_pivot"])
+        for r in pivot_clustering(df.coalesce(1)).collect()
+    }
+    assert a == b
+
+
+def test_pivot_clustering_cl1_fixture_converges_in_three_rounds(spark):
+    # the cl1 oracle unrolls exactly 3 MIS rounds: components are <= 6
+    # nodes so 3 rounds provably exhaust the graph — pin the bound by
+    # running the Spark side with max_iter=3 (it raises on overrun)
+    from el.clustering import pivot_clustering
+    from el.queries import REGISTRY
+
+    fn = REGISTRY["cl1_pivot_clustering"].fn
+    out = fn(spark, "/root/testdata/sf0.001")
+    n_nodes = out.count()
+    edges_nodes = out.select("node_id").distinct().count()
+    assert n_nodes == edges_nodes  # one row per incident node
+    # re-run the same fixture graph bounded at 3 rounds: must not raise
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    from pyspark.sql import functions as F
+
+    a, b = d.alias("a"), d.alias("b")
+    chain = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .where(F.col("a.doc_id") % 6 != 5)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    cut = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 2)
+        .where(F.col("a.doc_id") % 6 == 0)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    pivot_clustering(chain.unionByName(cut), max_iter=3).count()
