@@ -227,6 +227,23 @@ def compact_deltas(
             )
         for d in deltas:
             merged = merged.unionByName(catalog.read(spark, d))
+        gone = _forgotten_mentions(spark, catalog)
+        if gone is not None:
+            # apply forget_urls tombstones physically while we are
+            # rewriting anyway (the mentions/mentions_vec branch gets
+            # this for free through _read_with_deltas)
+            from pyspark.sql import functions as F
+
+            ids = gone.select("mention_id")
+            merged = merged.join(
+                F.broadcast(ids.select(F.col("mention_id").alias("a_id"))),
+                on="a_id",
+                how="left_anti",
+            ).join(
+                F.broadcast(ids.select(F.col("mention_id").alias("b_id"))),
+                on="b_id",
+                how="left_anti",
+            )
         target = "scored_pairs_all"
     else:
         if not deltas:
@@ -286,14 +303,37 @@ def ingest_new_mentions(delta_mentions: DataFrame, old_mentions: DataFrame):
     return delta_mentions.join(F.broadcast(seen), on="url", how="left_anti")
 
 
+def _forgotten_mentions(spark, catalog: HadoopParquetCatalog):
+    """The mention-id tombstone table written by forget_urls, or None.
+    Deletion-sized (grows only with forget requests), so it is always
+    broadcast into the anti-joins that apply it."""
+    if not catalog.exists("forgotten_mentions"):
+        return None
+    return catalog.read(spark, "forgotten_mentions")
+
+
 def _read_with_deltas(spark, catalog: HadoopParquetCatalog, base: str):
-    """Merge-on-read: base table ∪ its committed deltas. This is the
-    append-only discipline for the O(corpus)-payload tables — each
-    absorbed batch commits ONLY its delta (Iceberg's append shape);
-    nothing ever rewrites the corpus-sized tables."""
+    """Merge-on-read: base table ∪ its committed deltas, minus
+    forget_urls tombstones. This is the append-only discipline for
+    the O(corpus)-payload tables — each absorbed batch commits ONLY
+    its delta (Iceberg's append shape) and each forget request
+    commits ONLY a tombstone (Iceberg's equality-delete shape);
+    nothing ever rewrites the corpus-sized tables eagerly. Compaction
+    applies the tombstones physically because it reads through this
+    view."""
     df = catalog.read(spark, base)
     for d in _delta_names(catalog, base):
         df = df.unionByName(catalog.read(spark, d))
+    if base in ("mentions", "mentions_vec"):
+        gone = _forgotten_mentions(spark, catalog)
+        if gone is not None:
+            from pyspark.sql import functions as F
+
+            df = df.join(
+                F.broadcast(gone.select("mention_id")),
+                on="mention_id",
+                how="left_anti",
+            )
     return df
 
 
@@ -330,6 +370,20 @@ def _scored_pair_tables(
     for d in _delta_names(catalog, "scored_pairs"):
         scored_tables.append(d)
         old_scored = old_scored.unionByName(catalog.read(spark, d))
+    gone = _forgotten_mentions(spark, catalog)
+    if gone is not None:
+        from pyspark.sql import functions as F
+
+        ids = gone.select("mention_id")
+        old_scored = old_scored.join(
+            F.broadcast(ids.select(F.col("mention_id").alias("a_id"))),
+            on="a_id",
+            how="left_anti",
+        ).join(
+            F.broadcast(ids.select(F.col("mention_id").alias("b_id"))),
+            on="b_id",
+            how="left_anti",
+        )
     return scored_tables, old_scored
 
 
@@ -369,6 +423,20 @@ def incremental_update(
     # committed-pair total from MANIFESTS — no corpus-sized count()
     # job per absorb (VERDICT r2 #7)
     old_pairs_rows = sum(_manifest_rows(catalog, t) for t in scored_tables)
+
+    # 0. suppression list: a forgotten url must never be re-ingested
+    # (forget_urls contract — GDPR-style deletion is delete + do not
+    # re-collect; without this, the next crawl of the same page would
+    # silently resurrect the data). Tombstones are deletion-sized, so
+    # the anti-join broadcasts.
+    if catalog.exists("forgotten_urls"):
+        from pyspark.sql import functions as F
+
+        new_pages = new_pages.join(
+            F.broadcast(catalog.read(spark, "forgotten_urls").select("url")),
+            on="url",
+            how="left_anti",
+        )
 
     # 1. new mentions (urls not yet ingested) — the extract UDF runs
     # once (checkpoint), then the ingest filter probes the corpus with
@@ -502,4 +570,119 @@ def incremental_update(
             "wall_sec": round(time.time() - t0, 2),
         },
         "clusters": catalog.read(spark, "clusters"),
+    }
+
+
+def forget_urls(
+    spark: SparkSession,
+    catalog: HadoopParquetCatalog,
+    urls: DataFrame,
+    rc: RunConfig | None = None,
+) -> dict:
+    """Right-to-be-forgotten deletion from the committed catalog
+    `[PK: GDPR Art. 17 erasure on immutable data lakes — the Iceberg
+    equality-delete / merge-on-read pattern]`: remove every mention
+    extracted from ``urls`` so that all subsequent reads (and
+    absorbs) behave exactly as if those pages had never been crawled.
+
+    Deletion is O(deletion), not O(corpus): the corpus-sized tables
+    (mentions, mentions_vec, scored pairs) are never rewritten here —
+    a deletion-sized TOMBSTONE table commits instead and every read
+    path anti-joins it broadcast-side (``_read_with_deltas`` /
+    ``_scored_pair_tables``); the next ``compact_deltas`` applies
+    tombstones physically while rewriting anyway. Only the two tables
+    the absorb path already rewrites (block_keys, clusters) are
+    rewritten eagerly — clusters MUST be: a forgotten mention may be
+    the bridge holding two real entities together, so dropping its
+    edges can split clusters (pinned in tests).
+
+    The contract is delete **and never re-collect**: forgotten urls
+    join a permanent suppression list that ``incremental_update``
+    anti-joins against every future batch (re-ingesting would
+    regenerate the same hash-derived mention ids and silently
+    resurrect the data the tombstones hide).
+
+    Idempotent and crash-ordered: tombstones commit FIRST (they only
+    hide rows), then block_keys, then clusters — a crash between
+    writes leaves a state where re-running the same forget_urls call
+    completes the repair; every write is the catalog's atomic
+    tmp+rename commit.
+
+    Returns a report dict; read the repaired clusters back via
+    ``catalog.read(spark, "clusters")``."""
+    from pyspark.sql import functions as F
+
+    rc = rc or RunConfig()
+    t0 = time.time()
+    urls = urls.select("url").distinct().localCheckpoint(eager=True)
+
+    # mention ids being forgotten — resolved BEFORE the tombstone
+    # hides them; broadcast-sized (mentions of the forgotten pages)
+    gone_m = (
+        _read_with_deltas(spark, catalog, "mentions")
+        .join(F.broadcast(urls), on="url", how="left_semi")
+        .select("mention_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # 1. tombstones first (idempotent union with prior forget calls;
+    # localCheckpoint before the overwrite — no plan may read files
+    # the commit rename replaces)
+    all_u = urls
+    if catalog.exists("forgotten_urls"):
+        all_u = (
+            catalog.read(spark, "forgotten_urls")
+            .select("url")
+            .unionByName(urls)
+            .distinct()
+        )
+    catalog.write(
+        all_u.localCheckpoint(eager=True),
+        "forgotten_urls",
+        run_id=rc.run_id,
+        stage="forget",
+    )
+    all_m = gone_m
+    if catalog.exists("forgotten_mentions"):
+        all_m = (
+            catalog.read(spark, "forgotten_mentions")
+            .select("mention_id")
+            .unionByName(gone_m)
+            .distinct()
+        )
+    catalog.write(
+        all_m.localCheckpoint(eager=True),
+        "forgotten_mentions",
+        run_id=rc.run_id,
+        stage="forget",
+    )
+
+    # 2. block_keys: already a rewrite table in the absorb path —
+    # drop the forgotten members eagerly so pair generation never
+    # sees them again
+    keys = (
+        catalog.read(spark, "block_keys")
+        .join(F.broadcast(gone_m), on="mention_id", how="left_anti")
+        .localCheckpoint(eager=True)
+    )
+    catalog.write(
+        keys, "block_keys", run_id=rc.run_id, stage="block_keys",
+        partition_by=["strategy"],
+    )
+
+    # 3. recluster from the tombstone-filtered views: edges touching a
+    # forgotten mention are gone, so clusters it bridged split apart
+    mentions = _read_with_deltas(spark, catalog, "mentions")
+    _, scored = _scored_pair_tables(spark, catalog)
+    clusters = clusters_of(mentions, matched_edges(scored))
+    m_cl = catalog.write(
+        clusters, "clusters", run_id=rc.run_id, stage="clusters"
+    )
+
+    return {
+        "forgotten_urls": urls.count(),
+        "forgotten_mentions": gone_m.count(),
+        "total_mentions": m_cl["total_rows"],
+        "wall_sec": round(time.time() - t0, 2),
     }

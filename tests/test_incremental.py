@@ -413,3 +413,172 @@ def test_streaming_absorb_equals_direct_absorb(
     q2.awaitTermination()
     assert len(reports2) == 1 and reports2[0]["new_mentions"] == 0
     assert cluster_set(cat_b) == cluster_set(cat_a)
+
+
+# ---------------------------------------------------------------------------
+# forget_urls: right-to-be-forgotten deletion + cluster repair
+# ---------------------------------------------------------------------------
+
+
+def test_forget_equals_full_run_without_urls(spark, tmp_path_factory, rc):
+    """forget_urls(U) must leave the catalog equivalent to a pipeline
+    run that never saw U: identical clusters, no forgotten url in any
+    read view. Models are shared (fitted once) so vectors/scores are
+    comparable across both paths."""
+    from el.incremental import _read_with_deltas, forget_urls
+
+    pages = gen_web_pages(spark, 400).localCheckpoint()
+    drop = F.pmod(F.xxhash64("url"), F.lit(10)) < 2
+    forget_set = pages.where(drop).select("url").distinct()
+    assert forget_set.count() > 0
+
+    mdir = str(tmp_path_factory.mktemp("models_fg"))
+    cat_a = HadoopParquetCatalog(str(tmp_path_factory.mktemp("fg_a")))
+    rc_a = RunConfig(
+        run_id="fga", n_score_chunks=2, pipeline=rc.pipeline, model_dir=mdir
+    )
+    run_checkpointed(spark, pages, cat_a, rc_a, resume=False)
+    rep = forget_urls(spark, cat_a, forget_set, rc_a)
+    assert rep["forgotten_mentions"] > 0
+
+    cat_b = HadoopParquetCatalog(str(tmp_path_factory.mktemp("fg_b")))
+    rc_b = RunConfig(
+        run_id="fgb", n_score_chunks=2, pipeline=rc.pipeline, model_dir=mdir
+    )
+    full = run_checkpointed(
+        spark, pages.where(~drop), cat_b, rc_b, resume=False
+    )
+
+    got = sorted(
+        map(
+            tuple,
+            cat_a.read(spark, "clusters")
+            .select("mention_id", "cluster_id")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            full["clusters"].select("mention_id", "cluster_id").collect(),
+        )
+    )
+    assert got == want
+
+    # no read view may surface a forgotten url / its mentions
+    urls_left = {
+        r["url"]
+        for r in _read_with_deltas(spark, cat_a, "mentions")
+        .select("url")
+        .distinct()
+        .collect()
+    }
+    assert urls_left.isdisjoint(
+        {r["url"] for r in forget_set.collect()}
+    )
+    # idempotent: re-running the same forget changes nothing
+    rep2 = forget_urls(spark, cat_a, forget_set, rc_a)
+    assert rep2["forgotten_mentions"] == 0
+    got2 = sorted(
+        map(
+            tuple,
+            cat_a.read(spark, "clusters")
+            .select("mention_id", "cluster_id")
+            .collect(),
+        )
+    )
+    assert got2 == got
+
+
+def test_forget_bridge_mention_splits_cluster(spark, tmp_path_factory, rc):
+    """A forgotten mention that BRIDGED two entities must split them:
+    dropping its edges (not just its row) is what makes deletion
+    semantically a re-run, not a projection."""
+    from el.incremental import forget_urls
+
+    cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("fg_bridge")))
+    mentions = spark.createDataFrame(
+        [(1, "http://a"), (2, "http://b"), (3, "http://c")],
+        "mention_id long, url string",
+    )
+    scored = spark.createDataFrame(
+        [(1, 3, 1.0, True), (2, 3, 1.0, True)],
+        "a_id long, b_id long, score double, is_match boolean",
+    )
+    keys = spark.createDataFrame(
+        [("name", "k", 1), ("name", "k", 2), ("name", "k", 3)],
+        "strategy string, block_key string, mention_id long",
+    )
+    cat.write(mentions, "mentions", run_id="t", stage="mentions")
+    cat.write(scored, "scored_pairs_all", run_id="t", stage="scored_pairs")
+    cat.write(keys, "block_keys", run_id="t", stage="block_keys",
+              partition_by=["strategy"])
+
+    rep = forget_urls(
+        spark, cat, spark.createDataFrame([("http://c",)], "url string")
+    )
+    assert rep["forgotten_mentions"] == 1
+    got = {
+        r["mention_id"]: r["cluster_id"]
+        for r in cat.read(spark, "clusters").collect()
+    }
+    # 3 is gone; 1 and 2 are now SINGLETON clusters (the bridge fell)
+    assert got == {1: 1, 2: 2}
+    left_keys = {
+        r["mention_id"] for r in cat.read(spark, "block_keys").collect()
+    }
+    assert left_keys == {1, 2}
+
+
+def test_forget_suppresses_reingest_and_compacts_physically(
+    spark, tmp_path_factory, rc
+):
+    """Forgotten urls never come back (suppression list in
+    incremental_update), and the next compaction removes tombstoned
+    rows physically from the base table."""
+    from el.incremental import (
+        _read_with_deltas,
+        compact_deltas,
+        forget_urls,
+        incremental_update,
+    )
+
+    pages = gen_web_pages(spark, 300).localCheckpoint()
+    split = F.pmod(F.xxhash64("url"), F.lit(10)) < 7
+    batch1, batch2 = pages.where(split), pages.where(~split)
+    cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("fg_sup")))
+    run_checkpointed(spark, batch1, cat, rc, resume=False)
+
+    drop = F.pmod(F.xxhash64("url"), F.lit(7)) == 0
+    forget_set = batch1.where(drop).select("url").distinct()
+    n_forget = forget_set.count()
+    assert n_forget > 0
+    forget_urls(spark, cat, forget_set, rc)
+
+    # absorb a batch that RE-CONTAINS the forgotten pages + new ones:
+    # the suppression list must keep them out
+    out = incremental_update(
+        spark, batch2.unionByName(batch1.where(drop)), cat, rc
+    )
+    assert out["report"]["new_mentions"] > 0
+    mentions_after = _read_with_deltas(spark, cat, "mentions")
+    assert (
+        mentions_after.join(
+            forget_set, on="url", how="left_semi"
+        ).count()
+        == 0
+    )
+
+    # compaction folds the absorb delta AND applies tombstones
+    # physically: the raw base table no longer contains the ids
+    gone_ids = {
+        r["mention_id"]
+        for r in cat.read(spark, "forgotten_mentions").collect()
+    }
+    assert gone_ids
+    compact_deltas(spark, cat, "mentions")
+    raw_base = {
+        r["mention_id"]
+        for r in cat.read(spark, "mentions").select("mention_id").collect()
+    }
+    assert raw_base.isdisjoint(gone_ids)
