@@ -107,8 +107,10 @@ HEADLINE_OPTIONAL = [
     "el3_nil_resolution",
     # late-r5: Fellegi-Sunter probabilistic linkage — pins the exact
     # value-frequency u-estimation aggregates + the per-pair Bayes
-    # factor projection
+    # factor projection (lk6 adds the per-value TF-adjusted form:
+    # same aggregates one level finer + a broadcast join per field)
     "lk2_fellegi_sunter",
+    "lk6_fs_tf_adjusted",
     # late-r5: sorted-neighborhood blocking — pins the range-partition
     # global rank (no single-partition window) + successor equi-join
     "snm1_sorted_neighborhood",

@@ -544,3 +544,126 @@ def greedy_matching(
             if remaining.limit(1).count() == 0:
                 break
     return out
+
+
+def value_pair_frequencies(
+    left: DataFrame, right: DataFrame, fields: list[str]
+) -> DataFrame:
+    """Per-VALUE random-pair agreement counts — the term-frequency
+    model behind value-specific u-probabilities `[PK: Winkler 1989
+    value-specific (frequency-based) matching weights; Splink's
+    tf_adjustments]`: for each field and value v,
+    ``n_value_pairs = cnt_l(v) * cnt_r(v)`` — the exact number of
+    random (left, right) pairs that agree on exactly v. Summing over
+    a field's values reproduces estimate_u's ``n_agree_pairs``
+    (pinned in tests), so this is estimate_u BEFORE its final sum:
+    the same two linear groupBys + one distinct-value join per field,
+    output bounded by field cardinality, never a cross join.
+
+    Returns ``(field, value, n_value_pairs)`` — a deletion-of-detail
+    artifact small enough to broadcast into scoring (persist it next
+    to the m/u params with the model-artifact discipline)."""
+    parts = []
+    for f in fields:
+        cl = (
+            left.where(F.col(f).isNotNull())
+            .groupBy(F.col(f).cast("string").alias("value"))
+            .agg(F.count("*").cast("long").alias("_cl"))
+        )
+        cr = (
+            right.where(F.col(f).isNotNull())
+            .groupBy(F.col(f).cast("string").alias("value"))
+            .agg(F.count("*").cast("long").alias("_cr"))
+        )
+        parts.append(
+            cl.join(cr, on="value").select(
+                F.lit(f).alias("field"),
+                "value",
+                (F.col("_cl") * F.col("_cr")).cast("long").alias(
+                    "n_value_pairs"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fs_score_tf(
+    gammas: DataFrame,
+    params: dict[str, tuple[float, float]],
+    vfreq: DataFrame,
+    n_pairs: int,
+    tf_fields: list[str] | None = None,
+    prior: float | None = None,
+    l_prefix: str = "l_",
+) -> DataFrame:
+    """Fellegi-Sunter scoring with TERM-FREQUENCY-adjusted agreement
+    weights `[PK: Splink tf_adjustments; Winkler 1989]`: agreeing on
+    a RARE value ("Zylberschlag") is far stronger evidence than
+    agreeing on a common one ("Smith"), but the plain field-level u
+    averages that away. For a tf-adjusted field the agreement Bayes
+    factor becomes ``m / u_v`` with the value-specific
+    ``u_v = n_value_pairs / n_pairs`` (P(random pair agrees on
+    exactly v)) from value_pair_frequencies; disagreement keeps the
+    field-level ``(1-m)/(1-u)`` exactly as fs_score.
+
+    A value ABSENT from ``vfreq`` (stale persisted artifact scoring a
+    newer corpus) falls back to the field-level u — the conservative
+    Splink behavior; never a divide-by-zero (a pair agreeing on v
+    implies both sides contain v whenever vfreq was fit on the same
+    corpora).
+
+    Plan shape: one BROADCAST left join per tf field (vfreq is
+    bounded by field cardinality) on the pair's left-side value, then
+    the same fixed-multiply-order pure projection as fs_score —
+    bit-identical doubles across engines/partitionings, no extra
+    shuffle, no UDF. ``tf_fields`` defaults to every param field."""
+    tf_fields = list(params) if tf_fields is None else list(tf_fields)
+    for f, (m, u) in params.items():
+        if not (0.0 < u < 1.0) or not (0.0 < m <= 1.0):
+            raise ValueError(
+                f"field {f}: need 0 < u < 1 and 0 < m <= 1, got m={m}, u={u}"
+            )
+        if m <= u:
+            raise ValueError(
+                f"field {f}: m={m} <= u={u} — agreement would count "
+                "against a match; check the estimates"
+            )
+    unknown = [f for f in tf_fields if f not in params]
+    if unknown:
+        raise ValueError(f"tf_fields not in params: {unknown}")
+    if n_pairs <= 0:
+        raise ValueError(f"n_pairs must be positive, got {n_pairs}")
+    out = gammas
+    for f in tf_fields:
+        vf = vfreq.where(F.col("field") == f).select(
+            F.col("value").alias("_tfv_" + f),
+            F.col("n_value_pairs").alias("_nvp_" + f),
+        )
+        out = out.join(
+            F.broadcast(vf),
+            out[l_prefix + f].cast("string") == F.col("_tfv_" + f),
+            "left",
+        ).drop("_tfv_" + f)
+    k = F.lit(1.0)
+    for f, (m, u) in params.items():
+        if f in tf_fields:
+            u_v = F.col("_nvp_" + f).cast("double") / F.lit(float(n_pairs))
+            agree = F.lit(float(m)) / F.coalesce(u_v, F.lit(float(u)))
+        else:
+            agree = F.lit(float(m)) / F.lit(float(u))
+        k = k * F.when(F.col("g_" + f) == 1, agree).otherwise(
+            F.lit(1.0 - float(m)) / F.lit(1.0 - float(u))
+        )
+    out = out.withColumn("bayes_factor", k).drop(
+        *["_nvp_" + f for f in tf_fields]
+    )
+    if prior is not None:
+        lam = float(prior)
+        if not (0.0 < lam < 1.0):
+            raise ValueError(f"prior must be in (0,1), got {prior}")
+        bk = F.lit(lam) * F.col("bayes_factor")
+        out = out.withColumn("match_prob", bk / (bk + F.lit(1.0 - lam)))
+    return out

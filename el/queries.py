@@ -2355,6 +2355,150 @@ def lk2_fellegi_sunter(spark, sf_dir):
 
 
 @check(
+    "lk6_fs_tf_adjusted",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id AS id,
+             'c' || CAST(doc_id%13 AS VARCHAR) AS city,
+             doc_id%97 AS zip
+      FROM documents
+    ), r AS (
+      SELECT doc_id AS id,
+             CASE WHEN doc_id%17 = 0 THEN NULL
+                  WHEN doc_id%7 = 0
+                    THEN 'c' || CAST((doc_id+1)%13 AS VARCHAR)
+                  ELSE 'c' || CAST(doc_id%13 AS VARCHAR) END AS city,
+             CASE WHEN doc_id%11 = 0 THEN (doc_id+3)%97
+                  ELSE doc_id%97 END AS zip
+      FROM documents
+    ), vc AS (
+      SELECT a.v, CAST(a.cl * b.cr AS BIGINT) AS nvp
+      FROM (SELECT city AS v, CAST(count(*) AS BIGINT) AS cl
+            FROM l WHERE city IS NOT NULL GROUP BY city) a
+      JOIN (SELECT city AS v, CAST(count(*) AS BIGINT) AS cr
+            FROM r WHERE city IS NOT NULL GROUP BY city) b USING (v)
+    ), vz AS (
+      SELECT a.v, CAST(a.cl * b.cr AS BIGINT) AS nvp
+      FROM (SELECT CAST(zip AS VARCHAR) AS v,
+                   CAST(count(*) AS BIGINT) AS cl
+            FROM l WHERE zip IS NOT NULL GROUP BY zip) a
+      JOIN (SELECT CAST(zip AS VARCHAR) AS v,
+                   CAST(count(*) AS BIGINT) AS cr
+            FROM r WHERE zip IS NOT NULL GROUP BY zip) b USING (v)
+    ), np AS (
+      SELECT CAST((SELECT count(*) FROM l) AS BIGINT)
+             * CAST((SELECT count(*) FROM r) AS BIGINT) AS n
+    ), uu AS (
+      SELECT CAST((SELECT coalesce(sum(nvp), 0) FROM vc) AS DOUBLE)
+               / CAST((SELECT n FROM np) AS DOUBLE) AS u_city,
+             CAST((SELECT coalesce(sum(nvp), 0) FROM vz) AS DOUBLE)
+               / CAST((SELECT n FROM np) AS DOUBLE) AS u_zip
+    ), cand AS (
+      SELECT l.id AS l_id, r.id AS r_id,
+             l.city AS l_city, r.city AS r_city,
+             l.zip AS l_zip, r.zip AS r_zip
+      FROM l JOIN r ON r.id = l.id OR r.id = l.id + 1
+    ), g AS (
+      SELECT l_id, r_id, l_city, l_zip,
+        CASE WHEN l_city IS NOT NULL AND r_city IS NOT NULL
+                  AND l_city = r_city THEN 1 ELSE 0 END AS g_city,
+        CASE WHEN l_zip IS NOT NULL AND r_zip IS NOT NULL
+                  AND l_zip = r_zip THEN 1 ELSE 0 END AS g_zip
+      FROM cand
+    ), scored AS (
+      SELECT g.l_id, g.r_id, g.g_city, g.g_zip,
+        (1.0
+          * CASE WHEN g_city = 1
+                 THEN 0.95 / coalesce(
+                        CAST(vc.nvp AS DOUBLE)
+                          / CAST((SELECT n FROM np) AS DOUBLE),
+                        (SELECT u_city FROM uu))
+                 ELSE (1.0 - 0.95) / (1.0 - (SELECT u_city FROM uu))
+            END)
+          * CASE WHEN g_zip = 1
+                 THEN 0.9 / coalesce(
+                        CAST(vz.nvp AS DOUBLE)
+                          / CAST((SELECT n FROM np) AS DOUBLE),
+                        (SELECT u_zip FROM uu))
+                 ELSE (1.0 - 0.9) / (1.0 - (SELECT u_zip FROM uu))
+            END AS bayes_factor
+      FROM g
+      LEFT JOIN vc ON vc.v = g.l_city
+      LEFT JOIN vz ON vz.v = CAST(g.l_zip AS VARCHAR)
+    )
+    SELECT l_id, r_id, CAST(g_city AS INT) AS g_city,
+           CAST(g_zip AS INT) AS g_zip, bayes_factor,
+           (0.5 * bayes_factor) / (0.5 * bayes_factor + 0.5)
+             AS match_prob
+    FROM scored
+    """,
+)
+def lk6_fs_tf_adjusted(spark, sf_dir):
+    """Term-frequency-adjusted Fellegi-Sunter scoring
+    (el.linkage.value_pair_frequencies -> fs_score_tf, the Splink
+    tf_adjustments / Winkler value-specific weights): same noisy
+    re-observation fixture as lk2 (city/zip only), but each AGREEING
+    field's Bayes factor uses the value-specific
+    u_v = n_value_pairs / n_pairs instead of the field average —
+    agreeing on a rare city outweighs agreeing on a common one.
+    DuckDB recomputes the per-value frequency tables and mirrors the
+    m / coalesce(nvp/np, u) expression operand-for-operand, so the
+    adjusted factors are hash-exact bit-for-bit."""
+    from el.linkage import (
+        estimate_u,
+        field_agreements,
+        fs_score_tf,
+        value_pair_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    left = docs.select(
+        did.alias("id"),
+        F.concat(F.lit("c"), s(did % 13)).alias("city"),
+        (did % 97).alias("zip"),
+    )
+    right = docs.select(
+        did.alias("id"),
+        F.when(did % 17 == 0, F.lit(None).cast("string"))
+        .when(did % 7 == 0, F.concat(F.lit("c"), s((did + 1) % 13)))
+        .otherwise(F.concat(F.lit("c"), s(did % 13)))
+        .alias("city"),
+        F.when(did % 11 == 0, (did + 3) % 97)
+        .otherwise(did % 97)
+        .alias("zip"),
+    )
+    fields = ["city", "zip"]
+    u = {
+        r["field"]: r["u"] for r in estimate_u(left, right, fields).collect()
+    }
+    m = {"city": 0.95, "zip": 0.9}
+    params = {f: (m[f], u[f]) for f in fields}
+    vfreq = value_pair_frequencies(left, right, fields)
+    n_pairs = left.count() * right.count()
+
+    lkeys = left.select(
+        F.col("id").alias("l_id"),
+        F.explode(F.array(F.col("id"), F.col("id") + 1)).alias("_rk"),
+        *[F.col(f).alias("l_" + f) for f in fields],
+    )
+    rkeys = right.select(
+        F.col("id").alias("r_id"),
+        *[F.col(f).alias("r_" + f) for f in fields],
+    )
+    cand = lkeys.join(rkeys, lkeys["_rk"] == rkeys["r_id"]).drop("_rk")
+    g = field_agreements(cand, fields)
+    out = fs_score_tf(g, params, vfreq, n_pairs, prior=0.5)
+    return out.select(
+        "l_id", "r_id", "g_city", "g_zip", "bayes_factor", "match_prob"
+    )
+
+
+@check(
     "f13_monge_elkan",
     oracle=r"""
     WITH p AS (

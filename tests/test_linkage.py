@@ -492,3 +492,154 @@ def test_greedy_matching_equals_sequential_greedy(spark):
         assert a in ml or b in mr
     with _pt.raises(ValueError):
         greedy_matching(df, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# fs_score_tf (lk6): term-frequency-adjusted Fellegi-Sunter
+# ---------------------------------------------------------------------------
+
+
+def test_value_pair_frequencies_sum_to_estimate_u(spark):
+    """Per-value counts are estimate_u BEFORE the final sum: summing a
+    field's n_value_pairs reproduces its n_agree_pairs exactly."""
+    from el.linkage import estimate_u, value_pair_frequencies
+
+    left, right = _fs_tables(spark)
+    vf = value_pair_frequencies(left, right, ["city", "zip"])
+    sums = {
+        r["field"]: r["s"]
+        for r in vf.groupBy("field")
+        .agg(F.sum("n_value_pairs").alias("s"))
+        .collect()
+    }
+    u = {
+        r["field"]: r["n_agree_pairs"]
+        for r in estimate_u(left, right, ["city", "zip"]).collect()
+    }
+    assert sums == u
+    # and the individual products are right: city nyc = 2*1, sf = 1*2
+    vals = {
+        (r["field"], r["value"]): r["n_value_pairs"] for r in vf.collect()
+    }
+    assert vals[("city", "nyc")] == 2 and vals[("city", "sf")] == 2
+    assert ("city", "la") not in vals  # absent on the left side
+
+
+def test_fs_score_tf_rare_value_outweighs_common(spark):
+    """Two pairs both agree on city; the pair agreeing on the RARE
+    city must get the larger Bayes factor — the whole point of the
+    adjustment — while plain fs_score scores them identically."""
+    from el.linkage import (
+        estimate_u,
+        field_agreements,
+        fs_score,
+        fs_score_tf,
+        value_pair_frequencies,
+    )
+
+    # 9 'smith' rows and 1 'zyl' row on each side
+    rows = [(i, "smith" if i else "zyl") for i in range(10)]
+    left = spark.createDataFrame(rows, "id long, city string")
+    right = spark.createDataFrame(rows, "id long, city string")
+    cands = spark.createDataFrame(
+        [(0, 0, "zyl", "zyl"), (1, 1, "smith", "smith")],
+        "l_id long, r_id long, l_city string, r_city string",
+    )
+    g = field_agreements(cands, ["city"])
+    u = estimate_u(left, right, ["city"]).collect()[0]["u"]
+    params = {"city": (0.95, u)}
+    vf = value_pair_frequencies(left, right, ["city"])
+    tf = {
+        r["l_id"]: r["bayes_factor"]
+        for r in fs_score_tf(g, params, vf, 100).collect()
+    }
+    plain = {
+        r["l_id"]: r["bayes_factor"]
+        for r in fs_score(g, params).collect()
+    }
+    assert plain[0] == plain[1]  # field-level u cannot tell them apart
+    assert tf[0] > tf[1]  # rare agreement is stronger evidence
+    # exact values: u_zyl = 1/100, u_smith = 81/100
+    assert tf[0] == 0.95 / (1 / 100)
+    assert tf[1] == 0.95 / (81 / 100)
+
+
+def test_fs_score_tf_no_tf_fields_equals_fs_score(spark):
+    from el.linkage import (
+        estimate_u,
+        field_agreements,
+        fs_score,
+        fs_score_tf,
+        value_pair_frequencies,
+    )
+
+    left, right = _fs_tables(spark)
+    cand = left.select(
+        F.col("id").alias("l_id"),
+        F.col("city").alias("l_city"),
+        F.col("zip").alias("l_zip"),
+    ).join(
+        right.select(
+            F.col("id").alias("r_id"),
+            F.col("city").alias("r_city"),
+            F.col("zip").alias("r_zip"),
+        ),
+        F.col("l_id") == F.col("r_id"),
+    )
+    g = field_agreements(cand, ["city", "zip"])
+    u = {
+        r["field"]: r["u"]
+        for r in estimate_u(left, right, ["city", "zip"]).collect()
+    }
+    params = {"city": (0.95, u["city"]), "zip": (0.9, u["zip"])}
+    vf = value_pair_frequencies(left, right, ["city", "zip"])
+    a = {
+        (r["l_id"], r["r_id"]): (r["bayes_factor"], r["match_prob"])
+        for r in fs_score_tf(
+            g, params, vf, 16, tf_fields=[], prior=0.4
+        ).collect()
+    }
+    b = {
+        (r["l_id"], r["r_id"]): (r["bayes_factor"], r["match_prob"])
+        for r in fs_score(g, params, prior=0.4).collect()
+    }
+    assert a == b  # bit-identical when no field is tf-adjusted
+
+
+def test_fs_score_tf_stale_artifact_falls_back_to_field_u(spark):
+    """A value missing from the persisted vfreq artifact (scored
+    corpus moved on) must fall back to the field-level u, never
+    error or NULL out."""
+    from el.linkage import field_agreements, fs_score_tf
+
+    cands = spark.createDataFrame(
+        [(1, 1, "newcity", "newcity")],
+        "l_id long, r_id long, l_city string, r_city string",
+    )
+    g = field_agreements(cands, ["city"])
+    vf = spark.createDataFrame(
+        [("city", "oldcity", 4)],
+        "field string, value string, n_value_pairs long",
+    )
+    params = {"city": (0.95, 0.25)}
+    row = fs_score_tf(g, params, vf, 16).collect()[0]
+    assert row["bayes_factor"] == 0.95 / 0.25
+
+
+def test_fs_score_tf_guards(spark):
+    from el.linkage import field_agreements, fs_score_tf
+
+    cands = spark.createDataFrame(
+        [(1, 1, "a", "a")],
+        "l_id long, r_id long, l_city string, r_city string",
+    )
+    g = field_agreements(cands, ["city"])
+    vf = spark.createDataFrame(
+        [("city", "a", 1)], "field string, value string, n_value_pairs long"
+    )
+    with pytest.raises(ValueError, match="tf_fields not in params"):
+        fs_score_tf(g, {"city": (0.9, 0.1)}, vf, 16, tf_fields=["zip"])
+    with pytest.raises(ValueError, match="n_pairs"):
+        fs_score_tf(g, {"city": (0.9, 0.1)}, vf, 0)
+    with pytest.raises(ValueError, match="m=0.1 <= u=0.5"):
+        fs_score_tf(g, {"city": (0.1, 0.5)}, vf, 16)
