@@ -105,6 +105,10 @@ HEADLINE_OPTIONAL = [
     # late-r5: NIL-aware final linking decision — pins the left-total
     # mention-keyed decision join on top of el1's broadcast chain
     "el3_nil_resolution",
+    # late-r5: collective TAGME voting — pins the within-document
+    # voter x target equi-join + relatedness broadcast + integer
+    # vote aggregate (the coherence signal's wall)
+    "el5_vote_rerank",
     # late-r5: Fellegi-Sunter probabilistic linkage — pins the exact
     # value-frequency u-estimation aggregates + the per-pair Bayes
     # factor projection (lk6 adds the per-value TF-adjusted form:

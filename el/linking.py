@@ -311,3 +311,182 @@ def resolve_links(
             F.when(F.col("entity").isNull(), F.lit("no_evidence")),
         ).alias("nil_reason"),
     )
+
+
+def entity_relatedness(edges: DataFrame) -> DataFrame:
+    """Inlink-set relatedness components for entity pairs — the
+    semantic-relatedness signal collective entity linking votes with
+    `[PK: Milne & Witten 2008 normalized link distance; the Jaccard
+    inlink overlap used as its standard transcendental-free baseline
+    in entity-coherence work]`.
+
+    ``edges`` is a (src, dst) link graph (``el.extract.extract_links``
+    host edges: src = linking host, dst = entity host).  Two entities
+    are related in proportion to how much their IN-link sets overlap.
+    Returns one row per unordered entity pair sharing at least one
+    in-link: ``(entity_a, entity_b, n_common, n_union)`` with
+    entity_a < entity_b and Jaccard = n_common / n_union left to the
+    caller — keeping the components INTEGER keeps every downstream
+    vote integer-exact (vote_rerank's fixed-point discipline).
+
+    Plan shape: distinct postings -> one self-equi-join on the src
+    host (co-citation join; never a cartesian) -> pair hash aggregate
+    + two in-degree joins. Output is bounded by co-citation density,
+    not by |entities|^2 — pairs with zero common in-links never
+    materialize (they contribute exactly 0 votes downstream)."""
+    post = edges.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).distinct()
+    deg = post.groupBy("dst").agg(F.count("*").cast("long").alias("_deg"))
+    a = post.select(F.col("src"), F.col("dst").alias("entity_a"))
+    b = post.select(F.col("src"), F.col("dst").alias("entity_b"))
+    common = (
+        a.join(b, on="src")
+        .where(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        common.join(
+            deg.select(F.col("dst").alias("entity_a"), F.col("_deg").alias("_da")),
+            on="entity_a",
+        )
+        .join(
+            deg.select(F.col("dst").alias("entity_b"), F.col("_deg").alias("_db")),
+            on="entity_b",
+        )
+        .select(
+            "entity_a",
+            "entity_b",
+            "n_common",
+            (F.col("_da") + F.col("_db") - F.col("n_common"))
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
+
+
+def vote_rerank(
+    candidates: DataFrame,
+    relatedness: DataFrame,
+    doc_col: str = "doc",
+    id_col: str = "mention_id",
+    k: int = 1,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Collective (document-level) candidate re-ranking by TAGME
+    voting `[PK: Ferragina & Scaiella, "TAGME: on-the-fly annotation
+    of short text fragments", CIKM 2010 — each mention's candidates
+    are scored by votes from every OTHER mention in the same
+    document; a vote is the voter's prior-weighted average
+    relatedness to the target candidate]`: the third classic linking
+    signal after the commonness prior (el1) and mention-local context
+    (el2) — it disambiguates by COHERENCE, preferring the candidate
+    set that hangs together as one topic, which is exactly the
+    "topic-model disambiguation" role in the north star.
+
+    For target candidate (m, e) in document d:
+
+      vote(m, e) = sum over mentions m' != m in d, candidates e' of
+        m':  rel(e, e') * prior(e' | m') / n_cand(m')
+
+    computed ENTIRELY in fixed-point integer arithmetic so the score
+    is hash-exact across engines and partitionings (the el3
+    cross-multiply discipline, extended to sums):
+
+      contribution = (n_common * n_links' * scale)
+                       DIV (n_union * alias_total' * n_cand(m'))
+
+    with rel = inlink Jaccard (n_common/n_union from
+    entity_relatedness), prior = n_links'/alias_total', all BIGINT;
+    entity pairs without a relatedness row contribute exactly 0.
+    Each per-(voter, target) quantization error is < 1/scale, so with
+    the default scale the integer vote order only deviates from the
+    real-valued one inside ties narrower than n_voters/1e9 — and the
+    deterministic entity tie-break resolves those identically
+    everywhere.
+
+    ``candidates`` needs (doc_col, id_col, entity, n_links,
+    alias_total) — link_by_prior output joined to its mention's
+    document. Returns (doc, mention_id, entity, vote_score,
+    vote_rank) with vote_score the scaled BIGINT sum, ranked per
+    mention by (vote DESC, entity).
+
+    Scale shape: one per-mention candidate count (hash agg), one
+    within-document voter x target equi-join (quadratic ONLY in
+    candidates-per-document — TAGME bounds mentions per fragment and
+    candidates per mention, and callers cap with link_by_prior's k
+    and el3's prune), one broadcast-able relatedness join (bounded by
+    co-citation density), one final (mention, entity) hash aggregate
+    reusing the mention key. Overflow bound: n_common * n_links' *
+    scale must fit int64 — at the default 1e9 that allows
+    n_common * n_links' up to ~9.2e9, far past any per-host counts;
+    rescale down (or move to DECIMAL) for extreme graphs."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    c = candidates.select(
+        F.col(doc_col).alias("_doc"),
+        F.col(id_col).alias("mention_id"),
+        F.col("entity"),
+        F.col("n_links").cast("long").alias("_nl"),
+        F.col("alias_total").cast("long").alias("_at"),
+    )
+    ncand = c.groupBy("mention_id").agg(
+        F.count("*").cast("long").alias("_nc_m")
+    )
+    voters = c.join(ncand, on="mention_id").select(
+        F.col("_doc"),
+        F.col("mention_id").alias("_voter_m"),
+        F.col("entity").alias("_voter_e"),
+        "_nl",
+        "_at",
+        "_nc_m",
+    )
+    targets = c.select("_doc", "mention_id", "entity")
+    pairs = targets.join(voters, on="_doc").where(
+        F.col("mention_id") != F.col("_voter_m")
+    )
+    rel = relatedness.select(
+        F.col("entity_a"), F.col("entity_b"), F.col("n_common"),
+        F.col("n_union"),
+    )
+    joined = pairs.join(
+        F.broadcast(rel),
+        (F.least("entity", "_voter_e") == F.col("entity_a"))
+        & (F.greatest("entity", "_voter_e") == F.col("entity_b")),
+        "left",
+    )
+    # rel(e, e) = 1 by definition: a voter candidate IDENTICAL to the
+    # target entity votes with full relatedness (TAGME's same-entity
+    # reinforcement — two mentions plausibly naming the same entity
+    # support each other); distinct pairs take Jaccard from the
+    # relatedness row, absent rows contribute exactly 0
+    joined = joined.withColumn(
+        "_contrib",
+        F.expr(
+            f"CASE WHEN entity = _voter_e "
+            f"THEN (_nl * CAST({int(scale)} AS BIGINT)) DIV (_at * _nc_m) "
+            f"WHEN n_common IS NOT NULL "
+            f"THEN (n_common * _nl * CAST({int(scale)} AS BIGINT)) "
+            f"DIV (n_union * _at * _nc_m) ELSE CAST(0 AS BIGINT) END"
+        ),
+    )
+    votes = joined.groupBy("_doc", "mention_id", "entity").agg(
+        F.sum("_contrib").cast("long").alias("vote_score")
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("vote_score").desc(), F.col("entity")
+    )
+    return (
+        votes.withColumn("vote_rank", F.row_number().over(w))
+        .where(F.col("vote_rank") <= k)
+        .select(
+            F.col("_doc").alias("doc"),
+            "mention_id",
+            "entity",
+            "vote_score",
+            "vote_rank",
+        )
+    )

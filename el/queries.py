@@ -2499,6 +2499,118 @@ def lk6_fs_tf_adjusted(spark, sf_dir):
 
 
 @check(
+    "el5_vote_rerank",
+    oracle="""
+    WITH e1 AS (
+      SELECT 'h' || CAST(doc_id%37 AS VARCHAR) AS src,
+             'e' || CAST(doc_id%11 AS VARCHAR) AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id%37 AS VARCHAR),
+             'e' || CAST((doc_id+1)%11 AS VARCHAR)
+      FROM documents WHERE doc_id%3 = 0
+    ), post AS (SELECT DISTINCT src, dst FROM e1
+    ), deg AS (
+      SELECT dst, CAST(count(*) AS BIGINT) AS d FROM post GROUP BY dst
+    ), rel AS (
+      SELECT a.dst AS ea, b.dst AS eb, CAST(count(*) AS BIGINT) AS nc
+      FROM post a JOIN post b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY a.dst, b.dst
+    ), relu AS (
+      SELECT ea, eb, nc, da.d + db.d - nc AS nu
+      FROM rel JOIN deg da ON da.dst = ea JOIN deg db ON db.dst = eb
+    ), cand AS (
+      SELECT 'd' || CAST(doc_id%40 AS VARCHAR) AS doc,
+             doc_id AS mention_id,
+             'e' || CAST(doc_id%11 AS VARCHAR) AS entity,
+             CAST(doc_id%7+1 AS BIGINT) AS nl,
+             CAST(doc_id%7+4 AS BIGINT) AS at_
+      FROM documents
+      UNION ALL
+      SELECT 'd' || CAST(doc_id%40 AS VARCHAR), doc_id,
+             'e' || CAST((doc_id+2)%11 AS VARCHAR),
+             CAST(doc_id%5+2 AS BIGINT), CAST(doc_id%5+6 AS BIGINT)
+      FROM documents
+    ), ncand AS (
+      SELECT mention_id, CAST(count(*) AS BIGINT) AS ncm
+      FROM cand GROUP BY mention_id
+    ), pairs AS (
+      SELECT t.doc, t.mention_id, t.entity,
+             v.entity AS ve, v.nl, v.at_, n.ncm
+      FROM cand t JOIN cand v
+        ON v.doc = t.doc AND v.mention_id <> t.mention_id
+      JOIN ncand n ON n.mention_id = v.mention_id
+    ), contrib AS (
+      SELECT doc, mention_id, entity,
+        CASE WHEN entity = ve
+             THEN (nl * CAST(1000000000 AS BIGINT)) // (at_ * ncm)
+             WHEN r.nc IS NOT NULL
+             THEN (r.nc * nl * CAST(1000000000 AS BIGINT))
+                    // (r.nu * at_ * ncm)
+             ELSE CAST(0 AS BIGINT) END AS c
+      FROM pairs p
+      LEFT JOIN relu r ON r.ea = least(p.entity, p.ve)
+                      AND r.eb = greatest(p.entity, p.ve)
+    ), votes AS (
+      SELECT doc, mention_id, entity, CAST(sum(c) AS BIGINT) AS vote_score
+      FROM contrib GROUP BY doc, mention_id, entity
+    )
+    SELECT doc, mention_id, entity, vote_score, CAST(rn AS INT) AS vote_rank
+    FROM (SELECT v.*,
+                 row_number() OVER (PARTITION BY mention_id
+                                    ORDER BY vote_score DESC, entity) AS rn
+          FROM votes v)
+    WHERE rn <= 2
+    """,
+)
+def el5_vote_rerank(spark, sf_dir):
+    """Collective TAGME voting re-rank (el.linking.entity_relatedness
+    -> vote_rerank): the coherence signal — each mention's candidates
+    are scored by prior-weighted inlink-Jaccard relatedness votes
+    from every other mention in the same document, entirely in
+    fixed-point integer arithmetic (scale 1e9, the el3
+    cross-multiply discipline extended to sums), so the vote totals
+    are hash-exact. Fixture: a host->entity co-citation graph and a
+    2-candidate-per-mention table synthesized from doc_id arithmetic
+    on BOTH engines; DuckDB recomputes relatedness components, every
+    per-(voter, target) integer contribution (including the
+    rel(e,e)=1 same-entity reinforcement), and the per-mention
+    (vote DESC, entity) ranks."""
+    from el.linking import entity_relatedness, vote_rerank
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    e1 = docs.select(
+        F.concat(F.lit("h"), s(did % 37)).alias("src"),
+        F.concat(F.lit("e"), s(did % 11)).alias("dst"),
+    )
+    e2 = docs.where(did % 3 == 0).select(
+        F.concat(F.lit("h"), s(did % 37)).alias("src"),
+        F.concat(F.lit("e"), s((did + 1) % 11)).alias("dst"),
+    )
+    rel = entity_relatedness(e1.unionByName(e2))
+    c1 = docs.select(
+        F.concat(F.lit("d"), s(did % 40)).alias("doc"),
+        did.alias("mention_id"),
+        F.concat(F.lit("e"), s(did % 11)).alias("entity"),
+        (did % 7 + 1).cast("long").alias("n_links"),
+        (did % 7 + 4).cast("long").alias("alias_total"),
+    )
+    c2 = docs.select(
+        F.concat(F.lit("d"), s(did % 40)).alias("doc"),
+        did.alias("mention_id"),
+        F.concat(F.lit("e"), s((did + 2) % 11)).alias("entity"),
+        (did % 5 + 2).cast("long").alias("n_links"),
+        (did % 5 + 6).cast("long").alias("alias_total"),
+    )
+    return vote_rerank(c1.unionByName(c2), rel, k=2)
+
+
+@check(
     "f13_monge_elkan",
     oracle=r"""
     WITH p AS (

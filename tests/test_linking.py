@@ -339,3 +339,168 @@ def test_linking_eval_on_resolve_links_output(spark):
     assert r.n_correct_kb == 2 and r.n_correct_nil == 1
     assert r.accuracy == 3 / 4
     assert r.kb_p == 1.0 and r.kb_r == 2 / 3
+
+
+# ---------------------------------------------------------------------------
+# el5: collective TAGME voting re-rank
+# ---------------------------------------------------------------------------
+
+
+def _vote_ref(cands, rel, scale=10**9):
+    """Pure-python fixed-point TAGME voting: cands = [(doc, m, e, nl,
+    at)], rel = {(a, b): (nc, nu)} with a < b. Returns {(m, e): vote}."""
+    from collections import defaultdict
+
+    ncand = defaultdict(int)
+    for _, m, *_ in cands:
+        ncand[m] += 1
+    votes = defaultdict(int)
+    for doc_t, m_t, e_t, _, _ in cands:
+        for doc_v, m_v, e_v, nl, at in cands:
+            if doc_v != doc_t or m_v == m_t:
+                continue
+            if e_t == e_v:
+                votes[(m_t, e_t)] += (nl * scale) // (at * ncand[m_v])
+            else:
+                key = (min(e_t, e_v), max(e_t, e_v))
+                if key in rel:
+                    nc, nu = rel[key]
+                    votes[(m_t, e_t)] += (nc * nl * scale) // (
+                        nu * at * ncand[m_v]
+                    )
+                else:
+                    votes[(m_t, e_t)] += 0
+    return dict(votes)
+
+
+def test_entity_relatedness_components(spark):
+    from el.linking import entity_relatedness
+
+    edges = spark.createDataFrame(
+        [
+            ("h1", "A"), ("h1", "B"), ("h2", "A"), ("h2", "B"),
+            ("h3", "A"), ("h3", "C"), ("h4", "D"),
+            ("h1", "A"),  # duplicate edge: postings are distinct
+        ],
+        "src string, dst string",
+    )
+    got = {
+        (r["entity_a"], r["entity_b"]): (r["n_common"], r["n_union"])
+        for r in entity_relatedness(edges).collect()
+    }
+    # in(A)={h1,h2,h3}, in(B)={h1,h2}, in(C)={h3}, in(D)={h4}
+    assert got == {
+        ("A", "B"): (2, 3),   # common {h1,h2}, union {h1,h2,h3}
+        ("A", "C"): (1, 3),
+    }  # (B,C) share nothing; D is isolated -> no rows
+
+
+def test_vote_rerank_matches_python_reference(spark):
+    from el.linking import entity_relatedness, vote_rerank
+
+    rng = __import__("random").Random(5)
+    hosts = [f"h{i}" for i in range(12)]
+    ents = [f"E{i}" for i in range(8)]
+    edges = [
+        (rng.choice(hosts), rng.choice(ents)) for _ in range(60)
+    ]
+    cands = []
+    mid = 0
+    for d in range(6):
+        for _ in range(rng.randrange(2, 5)):  # mentions per doc
+            mid += 1
+            for e in rng.sample(ents, rng.randrange(1, 4)):
+                cands.append(
+                    (f"d{d}", mid, e, rng.randrange(1, 9),
+                     rng.randrange(9, 20))
+                )
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    cdf = spark.createDataFrame(
+        cands,
+        "doc string, mention_id long, entity string, "
+        "n_links long, alias_total long",
+    )
+    rel_df = entity_relatedness(edf)
+    rel = {
+        (r["entity_a"], r["entity_b"]): (r["n_common"], r["n_union"])
+        for r in rel_df.collect()
+    }
+    want = _vote_ref(cands, rel)
+    got = {
+        (r["mention_id"], r["entity"]): r["vote_score"]
+        for r in vote_rerank(cdf, rel_df, k=10).collect()
+    }
+    assert got == want
+
+
+def test_vote_rerank_coherence_beats_prior(spark):
+    """The voting signal's purpose: in a document about programming,
+    'python' the LANGUAGE must outrank 'python' the SNAKE even when
+    the snake has the higher global prior — because the language is
+    related (shared in-links) to the document's other mention."""
+    from el.linking import entity_relatedness, vote_rerank
+
+    edges = spark.createDataFrame(
+        [
+            ("dev1", "lang:python"), ("dev1", "sw:django"),
+            ("dev2", "lang:python"), ("dev2", "sw:django"),
+            ("zoo1", "animal:python"),
+        ],
+        "src string, dst string",
+    )
+    cands = spark.createDataFrame(
+        [
+            # mention 1 'python': snake has the bigger prior
+            ("doc", 1, "animal:python", 9, 10),
+            ("doc", 1, "lang:python", 1, 10),
+            # mention 2 'django': unambiguous
+            ("doc", 2, "sw:django", 5, 5),
+        ],
+        "doc string, mention_id long, entity string, "
+        "n_links long, alias_total long",
+    )
+    rel = entity_relatedness(edges)
+    top = {
+        r["mention_id"]: r["entity"]
+        for r in vote_rerank(cands, rel, k=1).collect()
+    }
+    assert top[1] == "lang:python"  # coherence overrides the prior
+
+
+def test_vote_rerank_same_entity_reinforcement_and_ties(spark):
+    """rel(e, e) = 1: two mentions sharing a candidate entity
+    reinforce it even with NO relatedness rows at all; vote ties
+    break deterministically by entity."""
+    from el.linking import vote_rerank
+
+    cands = spark.createDataFrame(
+        [
+            ("d", 1, "X", 1, 2), ("d", 1, "Z", 1, 2),
+            ("d", 2, "X", 1, 2), ("d", 2, "Y", 1, 2),
+        ],
+        "doc string, mention_id long, entity string, "
+        "n_links long, alias_total long",
+    )
+    empty_rel = spark.createDataFrame(
+        [], "entity_a string, entity_b string, n_common long, n_union long"
+    )
+    rows = vote_rerank(cands, empty_rel, k=2).collect()
+    votes = {(r["mention_id"], r["entity"]): r["vote_score"] for r in rows}
+    s = 10**9
+    # X gets the cross-mention self vote: (1 * s) // (2 * 2)
+    assert votes[(1, "X")] == s // 4 and votes[(2, "X")] == s // 4
+    assert votes[(1, "Z")] == 0 and votes[(2, "Y")] == 0
+    ranks = {
+        (r["mention_id"], r["entity"]): r["vote_rank"] for r in rows
+    }
+    assert ranks[(1, "X")] == 1 and ranks[(1, "Z")] == 2
+
+
+def test_vote_rerank_partition_invariant(spark):
+    from el.linking import entity_relatedness, vote_rerank
+    from el.queries import REGISTRY
+
+    out = REGISTRY["el5_vote_rerank"].fn(spark, "/root/testdata/sf0.001")
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, out.repartition(17).collect()))
+    assert a == b
