@@ -79,6 +79,9 @@ HEADLINE_OPTIONAL = [
     "dd10_strip_boilerplate",
     "ds5_weighted_mixture",
     "g1_pagerank",
+    # late-r5: HITS hubs/authorities — same per-round shuffle shape
+    # as g1, two half-steps per iteration
+    "g3_hits",
     # late-r5: web-graph link extraction + host-level corpus ledger
     # (both scan-stage projections/one-agg rollups — cheap entries
     # that pin the web-graph construction path's wall)

@@ -453,3 +453,92 @@ def pivot_clustering(
             F.lit(True).alias("is_pivot"),
         )
     )
+
+
+def hits(edges: DataFrame, n_iter: int = 10) -> DataFrame:
+    """HITS hubs-and-authorities after exactly ``n_iter`` synchronous
+    iterations `[PK: Kleinberg, "Authoritative sources in a
+    hyperlinked environment", JACM 1999]` — the web-graph signal pair
+    complementing PageRank (g1): an AUTHORITY is pointed at by good
+    hubs (the entity-catalog page worth linking to), a HUB points at
+    good authorities (the directory/portal page worth crawling from);
+    crawl schedulers and catalog builders keep both next to the
+    centrality prior.
+
+    Semantics pinned for cross-engine exactness (the g3 oracle
+    recomputes every iteration independently in DuckDB):
+    - directed edges deduplicated; nodes = distinct endpoints;
+      uniform 1/N start for both scores;
+    - per iteration: authority_raw(v) = sum of hub(u) over in-edges
+      u->v and then hub_raw(u) = sum of the NEW authority(v) over
+      out-edges u->v, each summed via the decimal(28,12) exact-sum
+      trick (order-independent => bit-identical across engines and
+      partitionings, the g1 discipline);
+    - L1 normalization after each half-step (divide by the
+      exact-decimal total — one IEEE division per row; Kleinberg's
+      normalization is arbitrary up to scale, and L1 keeps the
+      whole computation transcendental-free where L2 would need
+      sqrt); the total is a 1-row aggregate per half-step — the only
+      driver participation, the j7 loop discipline.
+
+    Scale: each half-step is one equi-join on a node key + one
+    groupBy — the same shuffle pattern as pagerank/CC — with
+    ``localCheckpoint(eager=True)`` per round keeping the plan
+    round-sized. Returns (node, hub, authority)."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    if e.limit(1).count() == 0:
+        raise ValueError("hits: empty edge set — scores are undefined")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = float(nodes.count())
+    hubs = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("h"))
+    auth = None
+    dec = "decimal(28,12)"
+    for _ in range(n_iter):
+        araw = (
+            hubs.join(e, hubs.node == e.src)
+            .select(F.col("dst"), F.col("h").cast(dec).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        az = araw.agg(
+            F.sum(F.col("s").cast(dec)).cast("double")
+        ).collect()[0][0]
+        auth = (
+            nodes.join(araw, nodes.node == araw.dst, "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(float(az))
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            auth.join(e, auth.node == e.dst)
+            .select(F.col("src"), F.col("a").cast(dec).alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        hz = hraw.agg(
+            F.sum(F.col("s").cast(dec)).cast("double")
+        ).collect()[0][0]
+        hubs = (
+            nodes.join(hraw, nodes.node == hraw.src, "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(float(hz))
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(hubs, on="node")
+        .join(auth, on="node")
+        .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
+    )

@@ -1832,6 +1832,88 @@ def g1_pagerank(spark, sf_dir):
     )
 
 
+def _hits_sql(n_iter: int = 10) -> str:
+    """Unrolled-iteration DuckDB HITS over the g1 graph, mirroring
+    el.clustering.hits operand-for-operand: both half-step sums and
+    both L1 normalization totals round through DECIMAL(28,12) before
+    summing (order-independent), every division is a single mirrored
+    IEEE op, and the hub half-step reads the SAME-iteration new
+    authorities — unrolled rather than recursive for the same
+    two-references reason as g1."""
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT doc_id AS a, (doc_id * 7 + 3) % 500 AS b FROM documents
+      UNION
+      SELECT doc_id, (doc_id * doc_id + 1) % 500
+      FROM documents WHERE doc_id % 3 = 0
+    ), e AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e0 WHERE a <> b
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ), nn AS MATERIALIZED (
+      SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes
+    ), h0 AS MATERIALIZED (
+      SELECT node, CAST(1 AS DOUBLE) / nn.nd AS h
+      FROM nodes CROSS JOIN nn
+    )"""
+    step = """, ar{j} AS MATERIALIZED (
+      SELECT t.dst AS node,
+             CAST(sum(CAST(p.h AS DECIMAL(28,12))) AS DOUBLE) AS s
+      FROM h{i} p JOIN e t ON t.src = p.node GROUP BY t.dst
+    ), az{j} AS MATERIALIZED (
+      SELECT CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS z
+      FROM ar{j}
+    ), a{j} AS MATERIALIZED (
+      SELECT n.node, coalesce(ar.s, CAST(0 AS DOUBLE)) / az.z AS a
+      FROM nodes n CROSS JOIN az{j} az
+      LEFT JOIN ar{j} ar ON ar.node = n.node
+    ), hr{j} AS MATERIALIZED (
+      SELECT t.src AS node,
+             CAST(sum(CAST(p.a AS DECIMAL(28,12))) AS DOUBLE) AS s
+      FROM a{j} p JOIN e t ON t.dst = p.node GROUP BY t.src
+    ), hz{j} AS MATERIALIZED (
+      SELECT CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS z
+      FROM hr{j}
+    ), h{j} AS MATERIALIZED (
+      SELECT n.node, coalesce(hr.s, CAST(0 AS DOUBLE)) / hz.z AS h
+      FROM nodes n CROSS JOIN hz{j} hz
+      LEFT JOIN hr{j} hr ON hr.node = n.node
+    )"""
+    body = "".join(step.format(i=i, j=i + 1) for i in range(n_iter))
+    return (
+        head
+        + body
+        + f"""
+    SELECT n.node, h.h AS hub, a.a AS authority
+    FROM nodes n
+    JOIN h{n_iter} h ON h.node = n.node
+    JOIN a{n_iter} a ON a.node = n.node"""
+    )
+
+
+@check("g3_hits", oracle=_hits_sql())
+def g3_hits(spark, sf_dir):
+    """HITS hubs and authorities (el.clustering.hits, Kleinberg 1999)
+    over the SAME deterministic graph as g1's PageRank — the signal
+    pair crawl schedulers and catalog builders keep beside the
+    centrality prior (hub = portal worth crawling from, authority =
+    page worth linking to). 10 synchronous iterations, L1-normalized
+    (transcendental-free), every sum decimal-exact; DuckDB re-runs
+    all 10 iterations unrolled so both scores are hash-exact
+    bit-for-bit."""
+    from el.clustering import hits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    e1 = d.select(did.alias("src"), ((did * 7 + 3) % 500).alias("dst"))
+    e2 = d.where(did % 3 == 0).select(
+        did.alias("src"), ((did * did + 1) % 500).alias("dst")
+    )
+    edges = e1.unionByName(e2).where(F.col("src") != F.col("dst"))
+    return hits(edges, n_iter=10)
+
+
 @check(
     "er1_blocking_reduction",
     oracle="""

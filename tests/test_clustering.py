@@ -346,3 +346,83 @@ def test_pivot_clustering_cl1_fixture_converges_in_three_rounds(spark):
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
     pivot_clustering(chain.unionByName(cut), max_iter=3).count()
+
+
+# ---------------------------------------------------------------------------
+# hits (g3): Kleinberg hubs and authorities
+# ---------------------------------------------------------------------------
+
+
+def _numpy_hits(edges, n_iter=10):
+    """Dense synchronous HITS with L1 normalization, hub half-step
+    reading the same-iteration new authorities (mirrors el.clustering
+    .hits up to the decimal-quantized sums)."""
+    import numpy as np
+
+    es = sorted(set(edges))
+    nodes = sorted({v for e in es for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, d in es:
+        A[idx[s], idx[d]] = 1.0
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(n_iter):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    return (
+        {v: h[idx[v]] for v in nodes},
+        {v: a[idx[v]] for v in nodes},
+    )
+
+
+def test_hits_matches_dense_reference(spark):
+    from el.clustering import hits
+
+    # a portal (0) pointing at everything, an authority (3) pointed
+    # at by everyone, plus noise
+    edges = [
+        (0, 1), (0, 2), (0, 3), (0, 4),
+        (1, 3), (2, 3), (4, 3), (1, 2), (4, 1),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r["hub"], r["authority"]) for r in hits(df).collect()}
+    wh, wa = _numpy_hits(edges)
+    assert set(got) == set(wh)
+    for v in wh:
+        assert abs(got[v][0] - wh[v]) < 1e-9, ("hub", v)
+        assert abs(got[v][1] - wa[v]) < 1e-9, ("auth", v)
+    # both score vectors are L1-normalized
+    assert abs(sum(g[0] for g in got.values()) - 1.0) < 1e-9
+    assert abs(sum(g[1] for g in got.values()) - 1.0) < 1e-9
+    # the portal is the top hub; the sink is the top authority
+    assert max(got, key=lambda v: got[v][0]) == 0
+    assert max(got, key=lambda v: got[v][1]) == 3
+
+
+def test_hits_dedups_edges_and_is_partition_invariant(spark):
+    from el.clustering import hits
+
+    edges = [(0, 1), (0, 1), (1, 2), (2, 0), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {r.node: (r["hub"], r["authority"]) for r in hits(df).collect()}
+    wh, wa = _numpy_hits(edges)
+    for v in wh:
+        assert abs(base[v][0] - wh[v]) < 1e-9
+        assert abs(base[v][1] - wa[v]) < 1e-9
+    again = {
+        r.node: (r["hub"], r["authority"])
+        for r in hits(df.repartition(5)).collect()
+    }
+    assert again == base  # bit-identical across partitionings
+
+
+def test_hits_rejects_empty_graph(spark):
+    from el.clustering import hits
+
+    df = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty edge set"):
+        hits(df)
