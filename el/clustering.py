@@ -542,3 +542,107 @@ def hits(edges: DataFrame, n_iter: int = 10) -> DataFrame:
         .join(auth, on="node")
         .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
     )
+
+
+def split_low_cohesion(
+    clusters: DataFrame,
+    edges: DataFrame,
+    min_density_num: int = 1,
+    min_density_den: int = 2,
+    min_members: int = 3,
+    seed: str = "",
+    id_col: str = "mention_id",
+    cluster_col: str = "cluster_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Cluster REPAIR: split the over-merged clusters a transitive
+    closure produced — the production action on cluster_cohesion's
+    audit report. Closure guarantees connectivity, not density: one
+    spurious bridge edge welds two real entities into a low-density
+    chain. This operator re-clusters exactly those suspects with
+    pivot_clustering (cl1 — a member stays only with a pivot it
+    shares a DIRECT verified edge with), and leaves every healthy
+    cluster byte-identical.
+
+    A cluster is flagged when (exact integer cross-multiply, the el3
+    discipline — no float density):
+
+        n_members >= min_members  AND
+        n_intra_edges * min_density_den
+            < n_possible_pairs * min_density_num
+
+    i.e. density below ``min_density_num/min_density_den`` (default
+    1/2). Split clusters keep ids in the member-id space (pivot id =
+    a member id), so new ids can never collide with an untouched
+    cluster's (min-member) id — member sets are disjoint.
+
+    Only-splits guarantee (pinned in tests): the result partition
+    REFINES the input one — two records in different input clusters
+    can never merge, because each flagged cluster is re-clustered on
+    its INTRA edges alone.
+
+    Scale shape: cluster_cohesion's audit (two id-keyed equi-joins +
+    one cluster-key groupBy) -> broadcast-able flagged-id set ->
+    pivot_clustering on the flagged subgraph only (delta-sized when
+    the corpus is healthy) -> one union. Returns ``(id_col,
+    cluster_col, was_split)``."""
+    if min_density_num < 0 or min_density_den <= 0:
+        raise ValueError(
+            f"bad density threshold {min_density_num}/{min_density_den}"
+        )
+    audit = cluster_cohesion(
+        clusters, edges, id_col=id_col, cluster_col=cluster_col,
+        a_col=a_col, b_col=b_col,
+    )
+    flagged = audit.where(
+        (F.col("n_members") >= int(min_members))
+        & (
+            F.col("n_intra_edges") * F.lit(int(min_density_den))
+            < F.col("n_possible_pairs") * F.lit(int(min_density_num))
+        )
+    ).select(cluster_col).localCheckpoint(eager=True)
+    c = clusters.select(id_col, cluster_col)
+    flagged_members = c.join(
+        F.broadcast(flagged), on=cluster_col, how="left_semi"
+    )
+    healthy = c.join(
+        F.broadcast(flagged), on=cluster_col, how="left_anti"
+    ).withColumn("was_split", F.lit(False))
+    # intra edges of flagged clusters only: both endpoints flagged AND
+    # in the SAME cluster (refinement guarantee)
+    fm = flagged_members
+    intra = (
+        edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .join(
+            fm.select(
+                F.col(id_col).alias("_a"), F.col(cluster_col).alias("_ca")
+            ),
+            on="_a",
+        )
+        .join(
+            fm.select(
+                F.col(id_col).alias("_b"), F.col(cluster_col).alias("_cb")
+            ),
+            on="_b",
+        )
+        .where(F.col("_ca") == F.col("_cb"))
+        .select(F.col("_a").alias("src"), F.col("_b").alias("dst"))
+    )
+    repaired = pivot_clustering(intra, seed=seed).select(
+        F.col("node_id").alias(id_col),
+        F.col("cluster_id").alias(cluster_col),
+    )
+    # defensive totality: a flagged member absent from the pivot output
+    # (no intra edge — impossible for closure clusters, possible for
+    # externally-supplied assignments) becomes its own singleton
+    split_out = (
+        flagged_members.select(id_col)
+        .join(repaired, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col(cluster_col), F.col(id_col)).alias(cluster_col),
+        )
+        .withColumn("was_split", F.lit(True))
+    )
+    return healthy.unionByName(split_out)

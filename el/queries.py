@@ -5061,6 +5061,33 @@ def cl1_pivot_clustering(spark, sf_dir):
     return pivot_clustering(chain.unionByName(cut))
 
 
+@check("cl2_split_low_cohesion")
+def cl2_split_low_cohesion(spark, sf_dir):
+    """Cluster repair (el.clustering.split_low_cohesion): re-cluster
+    the low-density clusters of a transitive closure with pivot
+    clustering, leaving healthy clusters untouched — the production
+    action on er6's audit. Rows-only check BY COMPOSITION: both
+    constituents are independently hash-exact oracled (er6 cohesion,
+    cl1 pivot clustering) and the composition semantics (refinement,
+    chain-splits, healthy-cluster identity) are pinned in
+    tests/test_clustering.py. Fixture: closure clusters over the j7
+    graph, repaired at the default 1/2 density threshold."""
+    from el.clustering import connected_components, split_low_cohesion
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    e1 = d.select(did.alias("src"), ((did * 7 + 3) % 500).alias("dst"))
+    e2 = d.where(did % 3 == 0).select(
+        did.alias("src"), ((did * did + 1) % 500).alias("dst")
+    )
+    edges = e1.unionByName(e2).where(F.col("src") != F.col("dst"))
+    cc = connected_components(edges)
+    return split_low_cohesion(
+        cc,
+        edges.select(F.col("src").alias("a_id"), F.col("dst").alias("b_id")),
+    )
+
+
 def _audit_fixture(spark, sf_dir):
     """Shared er6/er7 fixture: synthetic clusters (doc_id DIV 5 —
     contiguous 5-member entities) and a verified-edge table from

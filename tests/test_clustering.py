@@ -5,6 +5,7 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from el.clustering import clusters_of, connected_components
 from el.testing.union_find import components
@@ -426,3 +427,104 @@ def test_hits_rejects_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="empty edge set"):
         hits(df)
+
+
+# ---------------------------------------------------------------------------
+# split_low_cohesion: cluster repair via pivot re-clustering
+# ---------------------------------------------------------------------------
+
+
+def _repair_fixture(spark):
+    # cluster 0: a 5-node CHAIN (density 4/10 < 1/2 -> flagged);
+    # cluster 100: a 4-node CLIQUE (6/6 -> healthy);
+    # cluster 200: a pair with its edge (1/1 -> healthy)
+    clusters = [(i, 0) for i in range(5)]
+    clusters += [(100 + i, 100) for i in range(4)]
+    clusters += [(200, 200), (201, 200)]
+    chain = [(i, i + 1) for i in range(4)]
+    clique = [(100 + i, 100 + j) for i in range(4) for j in range(i + 1, 4)]
+    edges = chain + clique + [(200, 201)]
+    cdf = spark.createDataFrame(clusters, "mention_id long, cluster_id long")
+    edf = spark.createDataFrame(edges, "a_id long, b_id long")
+    return cdf, edf, edges
+
+
+def test_split_low_cohesion_splits_chain_keeps_clique(spark):
+    from el.clustering import split_low_cohesion
+
+    cdf, edf, edges = _repair_fixture(spark)
+    rows = split_low_cohesion(cdf, edf).collect()
+    out = {r["mention_id"]: (r["cluster_id"], r["was_split"]) for r in rows}
+    assert len(out) == 11  # totality: every input member exactly once
+    # healthy clusters byte-identical, not flagged
+    assert all(out[100 + i] == (100, False) for i in range(4))
+    assert out[200] == (200, False) and out[201] == (200, False)
+    # the chain was flagged and re-clustered: >= 2 sub-clusters now,
+    # and every member sits with a pivot it shares a DIRECT edge with
+    sub = {m: out[m][0] for m in range(5)}
+    assert all(out[m][1] for m in range(5))
+    assert len(set(sub.values())) >= 2
+    eset = {frozenset(e) for e in edges}
+    for m, cl in sub.items():
+        assert cl == m or frozenset((m, cl)) in eset
+
+
+def test_split_low_cohesion_only_refines(spark):
+    """The result partition REFINES the input: two members of
+    different input clusters never merge."""
+    from el.clustering import split_low_cohesion
+
+    cdf, edf, _ = _repair_fixture(spark)
+    rows = split_low_cohesion(cdf, edf).collect()
+    inp = {r["mention_id"]: r["cluster_id"] for r in cdf.collect()}
+    by_new = {}
+    for r in rows:
+        by_new.setdefault(r["cluster_id"], set()).add(r["mention_id"])
+    for members in by_new.values():
+        assert len({inp[m] for m in members}) == 1
+
+
+def test_split_low_cohesion_threshold_and_min_members(spark):
+    from el.clustering import split_low_cohesion
+
+    cdf, edf, _ = _repair_fixture(spark)
+    # density threshold 0 -> nothing ever flagged, output == input
+    rows = split_low_cohesion(cdf, edf, min_density_num=0).collect()
+    assert all(not r["was_split"] for r in rows)
+    inp = {r["mention_id"]: r["cluster_id"] for r in cdf.collect()}
+    assert {r["mention_id"]: r["cluster_id"] for r in rows} == inp
+    # min_members above every cluster size -> same
+    rows = split_low_cohesion(cdf, edf, min_members=99).collect()
+    assert all(not r["was_split"] for r in rows)
+    # threshold 1/1 with min_members=2: even the pair cluster (1/1
+    # density, NOT < 1) stays; the clique (6/6) stays; chain splits
+    rows = split_low_cohesion(
+        cdf, edf, min_density_num=1, min_density_den=1, min_members=2
+    ).collect()
+    split_ids = {r["mention_id"] for r in rows if r["was_split"]}
+    assert split_ids == set(range(5))
+
+
+def test_split_low_cohesion_composes_with_cc_pipeline(spark):
+    """End-to-end: closure over a bridged graph over-merges; the
+    repair splits at the bridge (low-priority crafted via md5 is
+    avoided by passing an explicit seed-independent check: we only
+    assert the two dense halves never share a cluster after repair)."""
+    from el.clustering import connected_components, split_low_cohesion
+
+    # two 4-cliques joined by ONE bridge edge
+    a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    b = [(10 + i, 10 + j) for i in range(4) for j in range(i + 1, 4)]
+    bridge = [(3, 10)]
+    edf = spark.createDataFrame(a + b + bridge, "a_id long, b_id long")
+    cc = connected_components(
+        edf.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    ).select(
+        F.col("mention_id"), F.col("cluster_id")
+    )
+    assert cc.select("cluster_id").distinct().count() == 1  # over-merged
+    rows = split_low_cohesion(cc, edf).collect()
+    out = {r["mention_id"]: r["cluster_id"] for r in rows}
+    left = {out[i] for i in range(4)}
+    right = {out[10 + i] for i in range(4)}
+    assert left.isdisjoint(right)  # the bridge no longer welds them
