@@ -478,8 +478,9 @@ def hits(edges: DataFrame, n_iter: int = 10) -> DataFrame:
       exact-decimal total — one IEEE division per row; Kleinberg's
       normalization is arbitrary up to scale, and L1 keeps the
       whole computation transcendental-free where L2 would need
-      sqrt); the total is a 1-row aggregate per half-step — the only
-      driver participation, the j7 loop discipline.
+      sqrt); the total is a 1-row aggregate per half-step that rides
+      along as a broadcast cross join — unlike pagerank's dangling
+      mass, the driver never participates inside an iteration.
 
     Scale: each half-step is one equi-join on a node key + one
     groupBy — the same shuffle pattern as pagerank/CC — with
@@ -505,15 +506,18 @@ def hits(edges: DataFrame, n_iter: int = 10) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").cast("double").alias("s"))
         )
-        az = araw.agg(
-            F.sum(F.col("s").cast(dec)).cast("double")
-        ).collect()[0][0]
+        # the L1 total rides along as a broadcast 1-row cross join
+        # instead of a collect(): same mirrored IEEE division, but the
+        # driver never blocks mid-half-step (one localCheckpoint per
+        # half-step is the only materialization)
+        az = araw.agg(F.sum(F.col("s").cast(dec)).cast("double").alias("z"))
         auth = (
             nodes.join(araw, nodes.node == araw.dst, "left")
+            .crossJoin(F.broadcast(az))
             .select(
                 "node",
                 (
-                    F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(float(az))
+                    F.coalesce(F.col("s"), F.lit(0.0)) / F.col("z")
                 ).alias("a"),
             )
             .localCheckpoint(eager=True)
@@ -524,15 +528,14 @@ def hits(edges: DataFrame, n_iter: int = 10) -> DataFrame:
             .groupBy("src")
             .agg(F.sum("c").cast("double").alias("s"))
         )
-        hz = hraw.agg(
-            F.sum(F.col("s").cast(dec)).cast("double")
-        ).collect()[0][0]
+        hz = hraw.agg(F.sum(F.col("s").cast(dec)).cast("double").alias("z"))
         hubs = (
             nodes.join(hraw, nodes.node == hraw.src, "left")
+            .crossJoin(F.broadcast(hz))
             .select(
                 "node",
                 (
-                    F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(float(hz))
+                    F.coalesce(F.col("s"), F.lit(0.0)) / F.col("z")
                 ).alias("h"),
             )
             .localCheckpoint(eager=True)
