@@ -100,6 +100,9 @@ HEADLINE_OPTIONAL = [
     # per-shard sort over the documents table — pins the training
     # data-loader layout's wall)
     "ds7_epoch_shuffle",
+    # late-r5: temporal embargo split (pure projection — pins the
+    # time-axis split-family scan wall)
+    "ds9_temporal_split",
     # late-r5: the two-signal entity linker — el1 pins the anchor
     # extraction -> prior -> broadcast linking join wall, el2 the
     # candidate x profile JVM-cosine re-rank

@@ -449,3 +449,48 @@ def leakage_safe_split(
         "split_key", F.coalesce(F.col("_cl"), F.col(key_col))
     ).drop("_cl")
     return hash_split(base, "split_key", weights, seed=seed)
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    boundary: str,
+    embargo_days: int = 0,
+) -> DataFrame:
+    """Time-based train/test split with an optional EMBARGO gap — the
+    leakage-prevention discipline for temporally-correlated corpora
+    `[PK: standard temporal holdout in forecasting/recsys evaluation;
+    purged/embargoed splits, Lopez de Prado, "Advances in Financial
+    Machine Learning", 2018, ch.7]`: training on the future of the
+    test set (or on rows whose near-in-time duplicates sit in test —
+    news wires, mirrored crawls) inflates eval scores exactly like
+    the near-dup leak ds8 closes, but along the TIME axis the hash
+    family cannot see.
+
+    ``split`` = 'train' for rows strictly before ``boundary``,
+    'test' for rows at/after ``boundary`` + ``embargo_days`` days,
+    'embargo' for the gap between (excluded from both sides — the
+    purge zone absorbing near-boundary temporal correlation); NULL
+    timestamps get split NULL (callers decide their fate explicitly,
+    the null-block discipline). Growth-stable like hash_split: a
+    record's split never changes as later data arrives.
+
+    Pure whole-stage-codegen projection — no shuffle, no UDF; the
+    boundary comparison and the embargo offset are timestamp
+    arithmetic both engines evaluate identically (exact integer
+    microseconds under the session's UTC discipline)."""
+    if embargo_days < 0:
+        raise ValueError(f"embargo_days must be >= 0, got {embargo_days}")
+    ts = F.col(ts_col)
+    b = F.to_timestamp(F.lit(boundary))
+    test_start = (
+        b if embargo_days == 0
+        else b + F.expr(f"INTERVAL {int(embargo_days)} DAYS")
+    )
+    return df.withColumn(
+        "split",
+        F.when(ts.isNull(), F.lit(None).cast("string"))
+        .when(ts < b, F.lit("train"))
+        .when(ts >= test_start, F.lit("test"))
+        .otherwise(F.lit("embargo")),
+    )

@@ -3105,6 +3105,32 @@ def ds8_leakage_safe_split(spark, sf_dir):
 
 
 @check(
+    "ds9_temporal_split",
+    oracle="""
+    SELECT event_id, ts,
+           CASE WHEN ts IS NULL THEN NULL
+                WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'train'
+                WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                           + INTERVAL 3 DAY THEN 'test'
+                ELSE 'embargo' END AS split
+    FROM events
+    """,
+)
+def ds9_temporal_split(spark, sf_dir):
+    """Temporal train/test split with a 3-day embargo purge zone
+    (el.datasets.temporal_split) over the events table — the
+    time-axis leakage control beside the hash (ds1), contamination
+    (ds6) and near-dup-cluster (ds8) split family. Timestamp
+    comparisons are exact integer microseconds under the session's
+    UTC discipline, so the assignment is hash-exact; the plan is a
+    pure whole-stage-codegen projection (no exchange)."""
+    from el.datasets import temporal_split
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return temporal_split(e, "ts", "2024-01-15 00:00:00", embargo_days=3)
+
+
+@check(
     "lm1_bigram_rarity",
     oracle="""
     WITH toks AS (

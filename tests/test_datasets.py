@@ -416,3 +416,65 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert by_id[6].split == plain[6] and by_id[7].split == plain[7]
     # cluster members inherit the KEEPER's split, by construction
     assert by_id[1].split == plain[1] and by_id[4].split == plain[4]
+
+
+# ---------------------------------------------------------------------------
+# ds9: temporal split with embargo
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_split_boundaries_and_embargo(spark):
+    from datetime import datetime
+
+    from el.datasets import temporal_split
+
+    rows = [
+        (1, datetime(2024, 1, 10)),            # train
+        (2, datetime(2024, 1, 14, 23, 59, 59)),  # train (strictly before)
+        (3, datetime(2024, 1, 15)),            # embargo (at boundary)
+        (4, datetime(2024, 1, 17, 23, 59, 59)),  # embargo (inside gap)
+        (5, datetime(2024, 1, 18)),            # test (at boundary+3d)
+        (6, datetime(2024, 2, 1)),             # test
+        (7, None),                              # NULL ts -> NULL split
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = {
+        r["id"]: r["split"]
+        for r in temporal_split(df, "ts", "2024-01-15 00:00:00",
+                                embargo_days=3).collect()
+    }
+    assert got == {
+        1: "train", 2: "train", 3: "embargo", 4: "embargo",
+        5: "test", 6: "test", 7: None,
+    }
+    # zero embargo: the gap vanishes, boundary row goes straight to test
+    got0 = {
+        r["id"]: r["split"]
+        for r in temporal_split(df, "ts", "2024-01-15 00:00:00").collect()
+    }
+    assert got0[3] == "test" and "embargo" not in set(got0.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="embargo_days"):
+        temporal_split(df, "ts", "2024-01-15", embargo_days=-1)
+
+
+def test_temporal_split_growth_stable_and_exchange_free(spark):
+    """A record's split never changes as later data arrives, and the
+    plan is a pure projection (no Exchange) like hash_split."""
+    from datetime import datetime
+
+    from el.datasets import temporal_split
+
+    early = [(i, datetime(2024, 1, 1 + i % 20)) for i in range(40)]
+    late = [(100 + i, datetime(2024, 3, 1)) for i in range(10)]
+    d1 = spark.createDataFrame(early, "id long, ts timestamp")
+    d2 = spark.createDataFrame(early + late, "id long, ts timestamp")
+    a = {r["id"]: r["split"]
+         for r in temporal_split(d1, "ts", "2024-01-12").collect()}
+    b = {r["id"]: r["split"]
+         for r in temporal_split(d2, "ts", "2024-01-12").collect()}
+    assert all(b[i] == a[i] for i in a)
+    plan = temporal_split(d1, "ts", "2024-01-12")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
