@@ -658,3 +658,79 @@ def audio_features(blobs: DataFrame, frame: int = 256) -> DataFrame:
             )
 
     return blobs.mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def video_neardup_pairs(
+    blobs: DataFrame,
+    every_k: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs by shared frame fingerprints — the
+    video leg of the dedup stack `[PK: content-based copy detection
+    via per-frame perceptual hashes + matched-frame counting, the
+    classic CBCD design (Hampapur & Bolle, "Comparison of distance
+    measures for video copy detection", ICME 2001 and the frame-
+    signature literature); composition of this repo's mm4 frame
+    sampling, mm6 dHash, and the dd9 posting-join shape]`: two videos
+    are near-dup candidates when >= ``min_shared`` of their sampled
+    frames carry the SAME 64-bit dHash — re-encoded copies, trims and
+    re-intros keep whole runs of identical frame sketches, while
+    distinct footage shares none.
+
+    Plan (linear, the dd9 discipline): VID1 frame sampling (every
+    ``every_k``-th frame, UDTF-shaped) -> per-frame dHash inside the
+    same Arrow pass family as mm6 -> DISTINCT (video, dhash) postings
+    (a fingerprint counts once per video — containment semantics,
+    the dc1 distinct-gram discipline) -> optional deterministic
+    hot-bucket cap (``max_bucket``; None = exact, the mm6 rationale:
+    a hot frame-hash IS a duplicate signal, cap only for adversarial
+    corpora like black-frame padding) -> dhash equi-join with
+    a_id < b_id -> pair-count groupBy. Returns ``(a_id, b_id,
+    n_shared, n_a, n_b)`` — all exact BIGINTs, so containment
+    (n_shared / min(n_a, n_b)) and Jaccard are one division away.
+
+    Scale: after the one decode pass only (video_id, 8-byte sketch)
+    postings shuffle; pixels never leave the scan stage; the pair
+    join is bounded per fingerprint by the cap when set."""
+    from el.dedup import cap_bucket_members
+
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    frames = sample_frames(blobs, every_k=every_k)
+    fps = (
+        dhash_images(frames)
+        .where(F.col("valid"))
+        .select("blob_id", "dhash")
+        .distinct()
+    )
+    sizes = fps.groupBy("blob_id").agg(
+        F.count("*").cast("long").alias("n_fp")
+    )
+    posts = fps
+    if max_bucket is not None:
+        posts = cap_bucket_members(
+            posts, key_col="dhash", id_col="blob_id", cap=max_bucket
+        )
+    a = posts.select(F.col("blob_id").alias("a_id"), "dhash")
+    b = posts.select(F.col("blob_id").alias("b_id"), "dhash")
+    pairs = (
+        a.join(b, on="dhash")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("blob_id").alias("a_id"),
+                         F.col("n_fp").alias("n_a")),
+            on="a_id",
+        )
+        .join(
+            sizes.select(F.col("blob_id").alias("b_id"),
+                         F.col("n_fp").alias("n_b")),
+            on="b_id",
+        )
+        .select("a_id", "b_id", "n_shared", "n_a", "n_b")
+    )

@@ -2151,6 +2151,40 @@ def mm4_sample_frames(spark, sf_dir):
     return image_features(frames.select("blob_id", "content"))
 
 
+@check("mm8_video_neardup", oracle=None)  # binary kernel, Spark-side only
+def mm8_video_neardup(spark, sf_dir):
+    """Video near-dup pairs by shared frame fingerprints
+    (el.multimodal.video_neardup_pairs — mm4 frame sampling + mm6
+    dHash + the dd9 posting-join shape). Planted near-dups: every 5th
+    VID1 blob gets an exact re-encoded copy and a front-trim (first 8
+    of 12 frames), so copies share all sampled fingerprints and trims
+    a prefix; completeness vs the pure-python fingerprint-set truth
+    is pinned in tests/test_multimodal.py (no SQL engine can express
+    the decode)."""
+    import struct
+
+    from el.multimodal import gen_video_blobs, video_neardup_pairs
+
+    base = gen_video_blobs(spark, 40)
+    rows = [
+        (int(r["blob_id"]), bytes(r["content"]))
+        for r in base.collect()
+        if r["blob_id"] % 5 == 0
+    ]
+    extra = []
+    for bid, b in rows:
+        w, h, _nf = struct.unpack("<III", b[4:16])
+        trunc = b[:4] + struct.pack("<III", w, h, 8) + b[16 : 16 + w * h * 8]
+        extra.append((bid + 1000, "video", b))
+        extra.append((bid + 2000, "video", trunc))
+    blobs = base.unionByName(
+        spark.createDataFrame(
+            extra, "blob_id long, media_type string, content binary"
+        )
+    )
+    return video_neardup_pairs(blobs, min_shared=2)
+
+
 @check("mm5_audio_features", oracle=None)  # binary kernel, Spark-side only
 def mm5_audio_features(spark, sf_dir):
     """Audio decode -> frame features over AUD1 blobs (rounds out the

@@ -400,3 +400,89 @@ def test_audio_neardup_pairs_match_bruteforce_truth(spark):
         for r in audio_neardup_pairs(df.repartition(1), max_hamming=3).collect()
     }
     assert got1 == got
+
+
+# ---------------------------------------------------------------------------
+# mm8: video near-dup by shared frame fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _video_ref_fps(content, every_k=4):
+    import struct as _struct
+
+    from el.multimodal import decode_frame, dhash_py
+
+    b = bytes(content)
+    n_frames = _struct.unpack("<I", b[12:16])[0]
+    return {
+        dhash_py(decode_frame(b, i)) for i in range(0, n_frames, every_k)
+    }
+
+
+def test_video_neardup_pairs_copy_truncation_and_distinct(spark):
+    import struct as _struct
+
+    from el.multimodal import gen_video_blobs, video_neardup_pairs
+
+    base = gen_video_blobs(spark, 4)  # ids 0-3, 12 frames each
+    rows = {r["blob_id"]: bytes(r["content"]) for r in base.collect()}
+    b0 = rows[0]
+    w, h, n_frames = _struct.unpack("<III", b0[4:16])
+    # id 100: exact copy of 0; id 200: first 8 frames of 0 (a trim)
+    trunc = b0[:4] + _struct.pack("<III", w, h, 8) + b0[16 : 16 + w * h * 8]
+    extra = [(100, "video", b0), (200, "video", trunc)]
+    blobs = base.unionByName(
+        spark.createDataFrame(
+            extra, "blob_id long, media_type string, content binary"
+        )
+    )
+    got = {
+        (r["a_id"], r["b_id"]): (r["n_shared"], r["n_a"], r["n_b"])
+        for r in video_neardup_pairs(blobs, min_shared=2).collect()
+    }
+    # brute-force truth from the pure-python fingerprint sets
+    fps = {bid: _video_ref_fps(c) for bid, c in rows.items()}
+    fps[100], fps[200] = _video_ref_fps(b0), _video_ref_fps(trunc)
+    want = {}
+    ids = sorted(fps)
+    for i, ai in enumerate(ids):
+        for bi in ids[i + 1 :]:
+            shared = len(fps[ai] & fps[bi])
+            if shared >= 2:
+                want[(ai, bi)] = (shared, len(fps[ai]), len(fps[bi]))
+    assert got == want
+    # the planted relationships specifically:
+    assert got[(0, 100)][0] == 3          # exact copy: all 3 sampled fps
+    assert got[(0, 200)][0] == 2          # trim: frames 0 and 4 shared
+    assert got[(100, 200)][0] == 2
+    assert all(a in (0, 100, 200) and b in (0, 100, 200) for a, b in got)
+    # tighter threshold keeps only the exact copy
+    got3 = {
+        (r["a_id"], r["b_id"])
+        for r in video_neardup_pairs(blobs, min_shared=3).collect()
+    }
+    assert got3 == {(0, 100)}
+
+
+def test_video_neardup_pairs_partition_invariant_and_guard(spark):
+    import pytest as _pytest
+
+    from el.multimodal import gen_video_blobs, video_neardup_pairs
+
+    base = gen_video_blobs(spark, 6)
+    dup = base.withColumn("blob_id", F.col("blob_id") + 50)
+    blobs = base.unionByName(dup)
+    a = {
+        tuple(r)
+        for r in video_neardup_pairs(blobs.repartition(9), min_shared=1)
+        .collect()
+    }
+    b = {
+        tuple(r)
+        for r in video_neardup_pairs(blobs.coalesce(1), min_shared=1)
+        .collect()
+    }
+    assert a == b
+    assert {(x, y) for x, y, *_ in a} == {(i, i + 50) for i in range(6)}
+    with _pytest.raises(ValueError, match="min_shared"):
+        video_neardup_pairs(blobs, min_shared=0)
