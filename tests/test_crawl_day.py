@@ -140,3 +140,79 @@ def test_production_crawl_day_e2e(spark, tmp_path_factory):
         "edges",
         "clusters",
     } <= stages
+
+
+def test_crawl_day_forget_epilogue(spark, tmp_path_factory):
+    """The GDPR epilogue of the production story: after a day of
+    absorbs, forget a slice of pages and the catalog must answer
+    exactly like a batch run that never crawled them. The slice is
+    cut at the CANONICAL-url group grain: the hygiene gate's
+    canonical dedup picks one winner per group, so forgetting a
+    winner's url must be compared against a run that saw none of the
+    group (dropping only the winner would let a sibling variant be
+    elected instead — a different corpus, not the forget semantics)."""
+    from el.incremental import forget_urls
+
+    pages = gen_web_pages(spark, 240).localCheckpoint()
+    cfg = PipelineConfig(
+        use_lsh=True,
+        use_topics=False,
+        canonical_url_dedup=True,
+        cap_k=10_000,
+    )
+    mdir = str(tmp_path_factory.mktemp("fg_models"))
+    cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("fg_cat")))
+    rc = RunConfig(run_id="fgday", n_score_chunks=2, pipeline=cfg,
+                   model_dir=mdir)
+    run_checkpointed(spark, pages, cat, rc, resume=False)
+
+    # slice: committed mention urls with hash%5 == 0 (dedup winners)
+    forget_set = (
+        _read_with_deltas(spark, cat, "mentions")
+        .select("url")
+        .distinct()
+        .where(F.pmod(F.xxhash64("url"), F.lit(5)) == 0)
+        .localCheckpoint(eager=True)
+    )
+    assert forget_set.count() > 0
+    rep = forget_urls(spark, cat, forget_set, rc)
+    assert rep["forgotten_mentions"] > 0
+    left = (
+        _read_with_deltas(spark, cat, "mentions")
+        .join(forget_set, on="url", how="left_semi")
+        .count()
+    )
+    assert left == 0
+
+    # reference: batch run over the day MINUS the forgotten canonical
+    # GROUPS (winner + all its variants), same persisted models
+    ck = canonicalize_url(F.col("url"))
+    gone_keys = (
+        pages.join(F.broadcast(forget_set), on="url", how="left_semi")
+        .select(ck.alias("_ck"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    kept = pages.withColumn("_ck", ck).join(
+        F.broadcast(gone_keys), on="_ck", how="left_anti"
+    ).drop("_ck")
+    ref_cat = HadoopParquetCatalog(str(tmp_path_factory.mktemp("fg_ref")))
+    rc_ref = RunConfig(run_id="fgref", n_score_chunks=2, pipeline=cfg,
+                       model_dir=mdir)
+    ref = run_checkpointed(spark, kept, ref_cat, rc_ref, resume=False)
+
+    got = sorted(
+        map(
+            tuple,
+            cat.read(spark, "clusters")
+            .select("mention_id", "cluster_id")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ref["clusters"].select("mention_id", "cluster_id").collect(),
+        )
+    )
+    assert got == want
